@@ -1,0 +1,96 @@
+"""Host input pipeline: batching, infinite cycling, and async device
+prefetch.
+
+Replaces the reference's synchronous DataLoader(num_workers=0) wrapped in
+`cycle` (dataset.py:19-22, :361-370) with a background-thread prefetcher that
+overlaps host-side augmentation with device compute and lands batches on the
+mesh via `jax.device_put` with the data sharding.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Dict, Iterator, Optional
+
+import numpy as np
+
+
+def cycle(iterable_factory: Callable[[], Iterator]):
+    """Infinite iterator; re-creates the underlying iterator each epoch
+    (shuffling datasets reshuffle per pass)."""
+    while True:
+        for x in iterable_factory():
+            yield x
+
+
+def batch_iterator(dataset, batch_size: int, shuffle: bool = True,
+                   drop_last: bool = True, seed: int = 0,
+                   collate_keys=("image", "mask")):
+    """One pass over `dataset`, yielding dict batches with stacked arrays.
+
+    Mirrors DataLoader(batch, shuffle, drop_last) semantics
+    (dataset.py:361-370) without torch.
+    """
+    rng = np.random.default_rng(seed)
+
+    def one_pass(epoch_seed):
+        order = np.arange(len(dataset))
+        if shuffle:
+            np.random.default_rng(epoch_seed).shuffle(order)
+        for start in range(0, len(order), batch_size):
+            idxs = order[start:start + batch_size]
+            if drop_last and len(idxs) < batch_size:
+                return
+            samples = [dataset[int(i)] for i in idxs]
+            batch: Dict[str, object] = {}
+            for k in samples[0]:
+                vals = [s[k] for s in samples]
+                if k in collate_keys and isinstance(vals[0], np.ndarray):
+                    batch[k] = np.stack(vals)
+                else:
+                    batch[k] = vals
+            yield batch
+
+    epoch = 0
+    while True:
+        yield from one_pass(int(rng.integers(0, 2 ** 31)) if shuffle else epoch)
+        epoch += 1
+
+
+def prefetch_to_device(it: Iterator, size: int = 2, mesh=None,
+                       keys=("image",)):
+    """Background-thread prefetch; device_put of `keys` with the data
+    sharding when a mesh is given."""
+    import jax
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    sentinel = object()
+
+    if mesh is not None:
+        from ..parallel.mesh import batch_sharding
+
+        def place(batch):
+            out = dict(batch)
+            for k in keys:
+                if k in out and isinstance(out[k], np.ndarray):
+                    out[k] = jax.device_put(
+                        out[k], batch_sharding(mesh, out[k].ndim))
+            return out
+    else:
+        def place(batch):
+            return batch
+
+    def producer():
+        try:
+            for item in it:
+                q.put(place(item))
+        finally:
+            q.put(sentinel)
+
+    thread = threading.Thread(target=producer, daemon=True)
+    thread.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            return
+        yield item

@@ -1,0 +1,291 @@
+"""Anomaly-detection evaluation entry point:
+``python -m anoddpm_tpu.detect <ARG_NUM>``.
+
+Re-implements the reference's detection drivers (detection.py:156-287
+`anomalous_metric_calculation` — the headline-metric producer — and the
+detection method sweeps A/B/A_fixedT, GaussianDiffusion.py:480-623) on top of
+the jitted forward_backward primitive.  All slices of a volume are evaluated
+as ONE batch (the reference loops slice-by-slice), and per-sample simplex
+fields are generated on device.
+
+CSV contract preserved: metrics/args{n}.csv with header
+``dice,ssim,iou,precision,recall,fpr,auc`` and "mean +- std" cells
+(detection.py:284-287).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import diffusion as dmod
+from . import metrics as M
+from . import visualize as vz
+from .checkpoint import load_parameters
+from .config import resolve_in_channels
+from .data.datasets import anomalous_dataset_from_args
+from .models.unet import unet_from_args
+from .ops.noise import make_noise_sampler, sampler_from_args
+from .schedule import schedule_from_args
+from .training import make_eval_model_fn
+
+
+def _load_eval_model(root_dir: str, token: str):
+    """Checkpointed EMA model + config for detection (detection.py:162-181)."""
+    args, payload, meta = load_parameters(root_dir, token)
+    in_channels = resolve_in_channels(args)
+    model = unet_from_args(args, in_channels)
+    ema_params = payload["ema"]
+    model_fn = make_eval_model_fn(model, ema_params)
+    sched = schedule_from_args(args)
+    return args, model_fn, sched
+
+
+def evaluate_anomaly_batch(model_fn, sched, images, masks, key,
+                           noise_sampler, t_distance: int = 200,
+                           fb_jit=None) -> Dict[str, list]:
+    """Metrics for one (S, H, W, C) batch of anomalous slices.
+
+    AUC is computed on the raw square-error map; the other metrics on the
+    map thresholded at 0.5 (detection.py:229-250).
+    """
+    if fb_jit is None:
+        fb_jit = jax.jit(lambda x, k: dmod.forward_backward(
+            model_fn, sched, x, t_distance, k, noise_sampler=noise_sampler,
+            denoise_sampler=noise_sampler))
+    recon, _ = fb_jit(jnp.asarray(images), key)
+    recon = np.asarray(recon)
+    images = np.asarray(images)
+    masks = np.asarray(masks)
+
+    out = {k: [] for k in ("dice", "ssim", "iou", "precision", "recall",
+                           "fpr", "auc")}
+    for s in range(images.shape[0]):
+        img, rec, msk = images[s], recon[s], masks[s]
+        mse_raw = M.square_error(img, rec)
+        pred = (mse_raw > 0.5).astype(np.float32)
+        out["auc"].append(M.roc_auc_score(msk.astype(np.uint8), mse_raw))
+        out["dice"].append(M.dice_coeff(img, rec, msk, mse=pred))
+        out["ssim"].append(M.ssim(img, rec, channel_axis=2))
+        out["precision"].append(M.precision(msk, pred))
+        out["recall"].append(M.recall(msk, pred))
+        out["iou"].append(M.iou(msk, pred))
+        out["fpr"].append(M.fpr(msk, pred))
+    return out, recon
+
+
+def anomalous_metric_calculation(args=None, root_dir: str = ".",
+                                 token: Optional[str] = None,
+                                 model_fn=None, sched=None,
+                                 t_distance: int = 200,
+                                 max_volumes: Optional[int] = None
+                                 ) -> Dict[str, float]:
+    """The headline-metric producer (detection.py:156-287): lambda=200
+    partial diffusion per anomalous slice, AUC on raw sq-err, threshold 0.5
+    for the rest; writes metrics/args{n}.csv."""
+    if model_fn is None:
+        args, model_fn, sched = _load_eval_model(root_dir, token)
+    # the reference hardcodes lambda=200 (detection.py:226) against T=1000;
+    # clamp for short-schedule configs where 200 would index past T
+    t_distance = min(t_distance, sched.num_timesteps)
+    noise_sampler = sampler_from_args(args)
+    d_set = anomalous_dataset_from_args(root_dir, args)
+    n_volumes = len(d_set) if max_volumes is None else min(len(d_set),
+                                                           max_volumes)
+
+    fb_jit = jax.jit(lambda x, k: dmod.forward_backward(
+        model_fn, sched, x, t_distance, k, noise_sampler=noise_sampler))
+
+    key = jax.random.key(int(args.get("seed", 0) or 0) + 1)
+    totals = {k: [] for k in ("dice", "ssim", "iou", "precision", "recall",
+                              "fpr", "auc")}
+    start = time.time()
+    for i in range(n_volumes):
+        sample = d_set[i]
+        key, sub = jax.random.split(key)
+        batch_out, _ = evaluate_anomaly_batch(
+            model_fn, sched, sample["image"], sample["mask"], sub,
+            noise_sampler, t_distance, fb_jit=fb_jit)
+        for k, v in batch_out.items():
+            totals[k].extend(v)
+        if i % 4 == 0:
+            name = str(sample.get("filenames", i))
+            print(f"[{i + 1}/{n_volumes}] {name}: "
+                  f"dice {np.mean(batch_out['dice']):.4f}, "
+                  f"AUC {np.mean(batch_out['auc']):.4f}, "
+                  f"elapsed {time.time() - start:.0f}s", flush=True)
+
+    print("\nOverall:")
+    summary = {}
+    for k in totals:
+        summary[k] = float(np.mean(totals[k]))
+        summary[k + "_std"] = float(np.std(totals[k]))
+        print(f"{k}: {summary[k]:.4f} +- {summary[k + '_std']:.4f}")
+
+    metrics_dir = os.path.join(root_dir, "metrics")
+    os.makedirs(metrics_dir, exist_ok=True)
+    with open(os.path.join(metrics_dir, f"args{args['arg_num']}.csv"),
+              "w") as f:
+        f.write("dice,ssim,iou,precision,recall,fpr,auc\n")
+        for k in ("dice", "ssim", "iou", "precision", "recall", "fpr", "auc"):
+            f.write(f"{summary[k]:.4f} +- {summary[k + '_std']:.4f},")
+        f.write("\n")
+    return summary
+
+
+def detection_A(args, model_fn, sched, x_0, mask, file_id, root_dir: str = ".",
+                total_avg: int = 2, key=None):
+    """Method A: sweep fixed simplex frequency 2^7..2^1 x lambda in
+    {50, 100, ..., 0.6T}; average reconstructions; save comparison grids
+    (GaussianDiffusion.py:480-529)."""
+    if key is None:
+        key = jax.random.key(2)
+    out_dir = os.path.join(root_dir, "diffusion-videos",
+                           f"ARGS={args['arg_num']}", "Anomalous",
+                           str(file_id), "A")
+    x_0 = jnp.asarray(x_0)
+    for i in range(7, 0, -1):
+        freq = float(2 ** i)
+        sampler = make_noise_sampler("simplex", frequency=freq)
+        for t_distance in range(50, int(int(args["T"]) * 0.6), 50):
+            # forward corruption at this frequency; reverse-step noise is
+            # gaussian, as in the reference's sample_p default
+            # (GaussianDiffusion.py:506-509)
+            fb = jax.jit(lambda x, k: dmod.forward_backward(
+                model_fn, sched, x, t_distance, k, noise_sampler=sampler,
+                denoise_sampler=make_noise_sampler("gauss")))
+            recons = []
+            for avg in range(total_avg):
+                key, sub = jax.random.split(key)
+                recon, _ = fb(x_0, sub)
+                recons.append(np.asarray(recon))
+            output = np.stack(recons)                      # (avg, B, H, W, C)
+            output_mean = output.mean(axis=0)
+            mse = ((output_mean - np.asarray(x_0)) ** 2 * 2) - 1
+            mse_threshold = ((mse > 0).astype(np.float32) * 2) - 1
+            panels = np.concatenate(
+                [np.asarray(x_0), output[:3, 0], output_mean, mse,
+                 mse_threshold, np.asarray(mask)], axis=0)
+            vz.save_grid_png(
+                os.path.join(out_dir, f"freq={i}-t={t_distance}.png"),
+                panels, row_size=4)
+
+
+def detection_B(args, model_fn, sched, x_0, mask, file_id,
+                denoise_fn: str = "octave", root_dir: str = ".",
+                total_avg: int = 5, key=None):
+    """Method B (octave simplex) / C (gaussian): per-lambda mean of
+    `total_avg` reconstructions -> dice + heatmap figure
+    (GaussianDiffusion.py:531-594)."""
+    if key is None:
+        key = jax.random.key(3)
+    out_dir = os.path.join(root_dir, "diffusion-videos",
+                           f"ARGS={args['arg_num']}", "Anomalous",
+                           str(file_id), denoise_fn)
+    if denoise_fn == "octave":
+        end = int(int(args["T"]) * 0.6)
+        sampler = make_noise_sampler("simplex", octaves=6, persistence=0.8,
+                                     frequency=64)
+    else:
+        end = int(int(args["T"]) * 0.8)
+        sampler = make_noise_sampler("gauss")
+    x_0 = jnp.asarray(x_0)
+    dice_scores = []
+    for t_distance in range(50, end, 50):
+        fb = jax.jit(lambda x, k: dmod.forward_backward(
+            model_fn, sched, x, t_distance, k, noise_sampler=sampler,
+            denoise_sampler=make_noise_sampler("gauss")))
+        recons = []
+        for _ in range(total_avg):
+            key, sub = jax.random.split(key)
+            recon, _ = fb(x_0, sub)
+            recons.append(np.asarray(recon))
+        output_mean = np.stack(recons).mean(axis=0)
+        vz.heatmap_figure(np.asarray(x_0), output_mean, np.asarray(mask),
+                          os.path.join(out_dir, f"heatmap-t={t_distance}.png"))
+        dice_scores.append(M.dice_coeff(np.asarray(x_0), output_mean,
+                                        np.asarray(mask)))
+    return dice_scores
+
+
+def detection_A_fixedT(args, model_fn, sched, x_0, mask, root_dir: str = ".",
+                       end_freq: int = 6, t_distance: int = 250, key=None):
+    """Fixed lambda=250, frequency 2^1..2^6 rows of
+    (x_0, x_noised, recon, sq-err, thresholded, mask)
+    (GaussianDiffusion.py:596-623)."""
+    if key is None:
+        key = jax.random.key(4)
+    x_0 = jnp.asarray(x_0)
+    rows = []
+    for i in range(1, end_freq + 1):
+        sampler = make_noise_sampler("simplex", frequency=float(2 ** i))
+        key, k_fwd, k_rev = jax.random.split(key, 3)
+        t_batch = jnp.full((x_0.shape[0],), t_distance - 1, jnp.int32)
+        noise = sampler(k_fwd, x_0.shape, t_batch)
+        x_noised = dmod.sample_q(sched, x_0, t_batch, noise)
+        recon, _ = jax.jit(lambda x, k: dmod.denoise_chain(
+            model_fn, sched, x, t_distance, k, noise_sampler=sampler))(
+                x_noised, k_rev)
+        mse = ((np.asarray(x_0) - np.asarray(recon)) ** 2 * 2) - 1
+        thresh = ((mse > 0).astype(np.float32) * 2) - 1
+        rows.append(np.concatenate(
+            [np.asarray(x_0), np.asarray(x_noised), np.asarray(recon), mse,
+             thresh, np.asarray(mask)], axis=0))
+    return np.concatenate(rows, axis=0)
+
+
+def anomalous_validation(args=None, root_dir: str = ".",
+                         token: Optional[str] = None,
+                         max_volumes: Optional[int] = 1):
+    """Per-volume videos + detection method sweeps by noise kind
+    (detection.py:17-153 `anomalous_validation_1`)."""
+    if args is None:
+        args, model_fn, sched = _load_eval_model(root_dir, token)
+    else:
+        args, model_fn, sched = args
+    noise_sampler = sampler_from_args(args)
+    d_set = anomalous_dataset_from_args(root_dir, args)
+    key = jax.random.key(5)
+    n = len(d_set) if max_volumes is None else min(len(d_set), max_volumes)
+    for i in range(n):
+        sample = d_set[i]
+        x = jnp.asarray(sample["image"][:1])
+        mask = sample["mask"][:1]
+        file_id = os.path.basename(str(sample["filenames"]))
+        key, k1, k2 = jax.random.split(key, 3)
+        _, frames = jax.jit(lambda xx, k: dmod.forward_backward(
+            model_fn, sched, xx, int(args["sample_distance"]), k,
+            noise_sampler=noise_sampler, see_whole_sequence="whole"))(x, k1)
+        vz.save_video(
+            os.path.join(root_dir, "diffusion-videos",
+                         f"ARGS={args['arg_num']}", "Anomalous",
+                         file_id, "full.mp4"),
+            list(np.asarray(frames)))
+        if str(args.get("noise_fn")) == "gauss":
+            detection_B(args, model_fn, sched, x, mask, file_id,
+                        denoise_fn="gauss", root_dir=root_dir, key=k2)
+        else:
+            detection_B(args, model_fn, sched, x, mask, file_id,
+                        denoise_fn="octave", root_dir=root_dir, key=k2)
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv:
+        raise SystemExit("usage: python -m anoddpm_tpu.detect <ARG_NUM> "
+                         "[validation]")
+    token = argv[0]
+    if len(argv) > 1 and argv[1] == "validation":
+        anomalous_validation(token=token)
+    else:
+        anomalous_metric_calculation(token=token)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,118 @@
+"""Test-set evaluation suite (reference: evaluation.py:90-186 `testing`).
+
+Produces, for a trained model: partial-diffusion videos at a range of
+lambdas, total/prior VLB statistics with vb/x0-MSE/eps-MSE at t=200, and
+PSNR of reconstructions from T/2 — the reference's de-facto regression
+signal, printed and returned as a dict (plus written to
+metrics/args{n}-test.json for structured consumption).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import diffusion as dm
+from . import metrics as M
+from . import visualize as vz
+from .ops.noise import NoiseSampler, gaussian_noise
+from .schedule import Schedule
+
+
+def testing(test_iter, model_fn, sched: Schedule, args,
+            noise_sampler: NoiseSampler = gaussian_noise,
+            key: Optional[jax.Array] = None, root_dir: str = ".",
+            n_images: int = 40, save_videos: bool = True) -> Dict[str, float]:
+    """Evaluate on the test set (evaluation.py:90-186).
+
+    test_iter yields {"image": (B, H, W, C)} host batches; model_fn is the
+    EMA eps-predictor closure.
+    """
+    if key is None:
+        key = jax.random.key(0)
+    arg_num = args["arg_num"]
+    video_dir = os.path.join(root_dir, "diffusion-videos", f"ARGS={arg_num}",
+                             "test-set")
+
+    sample_distance = int(args.get("sample_distance") or sched.num_timesteps)
+    t_half = sched.num_timesteps // 2
+
+    fb = jax.jit(
+        lambda x, k, td: dm.forward_backward(
+            model_fn, sched, x, td, k, noise_sampler=noise_sampler,
+            see_whole_sequence="half"),
+        static_argnums=(2,))
+    fb_plain = jax.jit(
+        lambda x, k: dm.forward_backward(model_fn, sched, x, t_half, k,
+                                         noise_sampler=noise_sampler))
+    vlb_fn = jax.jit(lambda x, k: dm.calc_total_vlb(model_fn, sched, x, k))
+
+    # 1. partial-diffusion videos at lambda in {100, 200, ...}
+    if save_videos:
+        for i in range(100, sample_distance, 100):
+            batch = next(test_iter)
+            x = jnp.asarray(batch["image"])
+            key, sub = jax.random.split(key)
+            _, frames = fb(x, sub, i)
+            frames = np.asarray(frames)
+            row = min(5, x.shape[0])
+            vz.save_video(os.path.join(video_dir, f"t={i}.mp4"),
+                          [f for f in frames], row_size=row)
+
+    # 2. VLB statistics
+    total_vlbs, prior_vlbs, vb200, x0mse200, mse200 = [], [], [], [], []
+    batches_seen = 0
+    while batches_seen < n_images:
+        batch = next(test_iter)
+        x = jnp.asarray(batch["image"])
+        key, sub = jax.random.split(key)
+        out = vlb_fn(x, sub)
+        total_vlbs.append(float(jnp.mean(out["total_vlb"])))
+        prior_vlbs.append(float(jnp.mean(out["prior_vlb"])))
+        # reference indexes position 199 of the descending-t stack
+        # (evaluation.py:175-185); clamp for short schedules
+        idx = min(199, sched.num_timesteps - 1)
+        vb200.append(float(out["vb"][0][idx]))
+        x0mse200.append(float(out["x_0_mse"][0][idx]))
+        mse200.append(float(out["mse"][0][idx]))
+        batches_seen += x.shape[0]
+
+    # 3. PSNR from T/2 reconstructions
+    psnrs = []
+    batches_seen = 0
+    while batches_seen < n_images:
+        batch = next(test_iter)
+        x = jnp.asarray(batch["image"])
+        key, sub = jax.random.split(key)
+        recon, _ = fb_plain(x, sub)
+        psnrs.append(M.psnr(np.asarray(recon), np.asarray(x)))
+        batches_seen += x.shape[0]
+
+    results = {
+        "total_vlb": float(np.mean(total_vlbs)),
+        "total_vlb_std": float(np.std(total_vlbs)),
+        "prior_vlb": float(np.mean(prior_vlbs)),
+        "prior_vlb_std": float(np.std(prior_vlbs)),
+        "vb_at_200": float(np.mean(vb200)),
+        "x_0_mse_at_200": float(np.mean(x0mse200)),
+        "mse_at_200": float(np.mean(mse200)),
+        "psnr": float(np.mean(psnrs)),
+        "psnr_std": float(np.std(psnrs)),
+    }
+    print(f"Test set total VLB: {results['total_vlb']} +- {results['total_vlb_std']}")
+    print(f"Test set prior VLB: {results['prior_vlb']} +- {results['prior_vlb_std']}")
+    print(f"Test set vb @ t=200: {results['vb_at_200']}")
+    print(f"Test set x_0_mse @ t=200: {results['x_0_mse_at_200']}")
+    print(f"Test set mse @ t=200: {results['mse_at_200']}")
+    print(f"Test set PSNR: {results['psnr']} +- {results['psnr_std']}")
+
+    metrics_dir = os.path.join(root_dir, "metrics")
+    os.makedirs(metrics_dir, exist_ok=True)
+    with open(os.path.join(metrics_dir, f"args{arg_num}-test.json"), "w") as f:
+        json.dump(results, f, indent=1)
+    return results

@@ -75,6 +75,13 @@ class Schedule:
 
 def make_schedule(betas: np.ndarray) -> Schedule:
     betas = np.asarray(betas, dtype=np.float64)
+    if (betas >= 1.0).any():
+        import warnings
+        warnings.warn(
+            "beta schedule contains values >= 1 (linear schedule at small T "
+            "scales by 1000/T — reference formula); downstream sqrt terms "
+            "will be NaN. Use the cosine schedule for T < 50.",
+            RuntimeWarning)
     alphas = 1.0 - betas
     alphas_cumprod = np.cumprod(alphas, axis=0)
     alphas_cumprod_prev = np.append(1.0, alphas_cumprod[:-1])

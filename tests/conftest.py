@@ -1,13 +1,23 @@
-"""Test harness config: force CPU with a virtual 8-device mesh so the
-multi-chip sharding paths compile and execute without TPU hardware
-(SURVEY.md §4 test strategy)."""
+"""Test harness config: force a TRUE CPU backend with 8 virtual devices so
+the multi-chip sharding paths compile and execute without TPU hardware
+(SURVEY.md §4 test strategy).
+
+Environment subtlety: this image's sitecustomize boots the axon TPU plugin
+and pins JAX_PLATFORMS=axon before pytest ever runs, so env vars set here are
+too late — but backends initialise lazily, so overriding the jax config
+before first device use works.  Without this, "CPU" tests silently run on
+the single TPU through a high-latency compile relay.
+"""
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import pathlib
 
