@@ -79,20 +79,18 @@ def simplex_rand_param_noise(key: jax.Array, shape: Tuple[int, ...],
     noise kind "simplex" for reference-parity behaviour.
     """
     b, h, w, c = shape
-    key_param, key_tabs = jax.random.split(key)
+    key_param, key_seeds = jax.random.split(key)
     idx = jax.random.randint(key_param, (), 0, len(RAND_PARAM_TABLE))
     table = jnp.asarray(RAND_PARAM_TABLE, jnp.float32)
     octv, pers, freq = table[idx, 0], table[idx, 1], table[idx, 2]
 
     t = jnp.broadcast_to(jnp.asarray(t, jnp.float32), (b,))
-    keys = jax.random.split(key_tabs, b * c)
+    seeds = sx.seeds_from_key(key_seeds, b * c)
     t_fields = jnp.repeat(t, c)
 
-    def one(k, ti):
-        perm, gid = sx.perm_tables_from_key(k)
-        return sx.fractal3_fixed_t_masked(perm, gid, (h, w), ti, octv, pers, freq)
-
-    fields = jax.vmap(one)(keys, t_fields)
+    fields = jax.vmap(
+        lambda s, ti: sx.fractal3_fixed_t_masked(s, (h, w), ti, octv, pers,
+                                                 freq))(seeds, t_fields)
     return fields.reshape(b, c, h, w).transpose(0, 2, 3, 1)
 
 

@@ -1,0 +1,85 @@
+"""Headline benchmark: 256x256 MRI slices/sec/chip at lambda=250 partial
+diffusion (the BASELINE.json north-star metric).
+
+Protocol: paper-config UNet (256^2, base 128, attention 16/8 — the
+args28-style flagship), bfloat16 compute, multi-octave simplex forward
+corruption + per-step on-device simplex noise, one q-jump to t=249 then the
+full 250-step reverse chain, all fused into a single jitted lax.scan.
+Throughput is measured steady-state (post-compile) with fresh PRNG keys per
+run (this environment's execution relay memoizes identical dispatches, so
+inputs MUST vary).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "slices/sec/chip", "vs_baseline": N/50}
+vs_baseline is against the 50 slices/sec/chip driver target
+(/root/repo/BASELINE.json — the reference publishes no numbers of its own).
+"""
+
+import json
+import os
+import sys
+import time
+
+# persistent compile cache: the 250-step scan over the paper UNet is a large
+# XLA program; cache it across bench invocations
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import jax
+import jax.numpy as jnp
+
+
+def run_bench(batch: int, t_distance: int = 250, img: int = 256,
+              base_channels: int = 128, noise_kind: str = "simplex",
+              repeats: int = 3, warmup: bool = True):
+    from anoddpm_tpu import diffusion as dm
+    from anoddpm_tpu.models.unet import UNet
+    from anoddpm_tpu.ops.noise import make_noise_sampler
+    from anoddpm_tpu.schedule import get_beta_schedule, make_schedule
+
+    sched = make_schedule(get_beta_schedule(1000, "linear"))
+    model = UNet(img_size=img, base_channels=base_channels, in_channels=1,
+                 attention_resolutions="16,8", n_heads=2, dtype=jnp.bfloat16)
+    x = jnp.zeros((batch, img, img, 1))
+    t = jnp.zeros((batch,), jnp.int32)
+    params = jax.jit(model.init)(jax.random.key(0), x, t)
+    # non-degenerate weights so zero-init layers don't shortcut the math
+    params = jax.tree_util.tree_map(lambda p: p + 0.01, params)
+
+    def model_fn(xx, tt):
+        return model.apply(params, xx, tt)
+
+    sampler = make_noise_sampler(noise_kind)
+    fb = jax.jit(lambda xx, k: dm.forward_backward(
+        model_fn, sched, xx, t_distance, k, noise_sampler=sampler))
+
+    if warmup:
+        fb(x, jax.random.key(999))[0].block_until_ready()
+    t0 = time.time()
+    for i in range(repeats):
+        recon, _ = fb(x, jax.random.key(i))
+        recon.block_until_ready()
+    dt = (time.time() - t0) / repeats
+    return batch / dt, dt
+
+
+def main():
+    quick = os.environ.get("BENCH_QUICK") == "1"
+    batch = int(os.environ.get("BENCH_BATCH", "4" if quick else "8"))
+    t_distance = 50 if quick else 250
+    slices_per_sec, dt = run_bench(batch, t_distance=t_distance)
+    result = {
+        "metric": "256^2 MRI slices/sec/chip (lambda=250 partial diffusion, "
+                  "simplex, paper-config UNet)",
+        "value": round(slices_per_sec, 3),
+        "unit": "slices/sec/chip",
+        "vs_baseline": round(slices_per_sec / 50.0, 3),
+    }
+    if quick:
+        result["metric"] = result["metric"].replace("lambda=250", f"lambda={t_distance}")
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

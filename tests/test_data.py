@@ -1,0 +1,106 @@
+"""Data layer tests: NIfTI reader, transforms, synthetic datasets, batch
+pipeline (reference pipelines: dataset.py:585-594, :620-630, :663-672)."""
+import gzip
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from anoddpm_tpu.data import transforms as T
+from anoddpm_tpu.data.nifti import read_nifti
+from anoddpm_tpu.data.pipeline import batch_iterator, prefetch_to_device
+from anoddpm_tpu.data.synthetic import (SyntheticAnomalyDataset,
+                                        SyntheticMRIDataset)
+
+
+def _write_nifti(path, data: np.ndarray):
+    """Minimal NIfTI-1 writer for round-trip testing."""
+    hdr = bytearray(352)
+    struct.pack_into("<i", hdr, 0, 348)
+    dims = (data.ndim,) + data.shape + (1,) * (7 - data.ndim)
+    struct.pack_into("<8h", hdr, 40, *dims)
+    struct.pack_into("<h", hdr, 70, 16)          # float32
+    struct.pack_into("<h", hdr, 72, 32)          # bitpix
+    struct.pack_into("<f", hdr, 108, 352.0)      # vox_offset
+    struct.pack_into("<f", hdr, 112, 1.0)        # scl_slope
+    struct.pack_into("<f", hdr, 116, 0.0)        # scl_inter
+    hdr[344:348] = b"n+1\x00"
+    payload = bytes(hdr) + data.astype("<f4").tobytes(order="F")
+    if path.endswith(".gz"):
+        with gzip.open(path, "wb") as f:
+            f.write(payload)
+    else:
+        with open(path, "wb") as f:
+            f.write(payload)
+
+
+def test_nifti_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    vol = rng.normal(size=(7, 9, 5)).astype(np.float32)
+    p = os.path.join(tmp_path, "vol.nii.gz")
+    _write_nifti(p, vol)
+    data, hdr = read_nifti(p)
+    assert hdr["shape"] == (7, 9, 5)
+    np.testing.assert_allclose(data, vol, rtol=1e-6)
+
+
+def test_clip_normalise_volume():
+    rng = np.random.default_rng(1)
+    vol = rng.normal(loc=100, scale=20, size=(16, 16, 16))
+    out = T.clip_normalise_volume(vol)
+    lo = (vol.mean() - vol.std()) / (3 * vol.std())
+    assert out.min() >= lo - 1e-6
+    assert out.max() <= out.min() + 1.0 + 1e-6  # range == 1 after division
+
+
+def test_center_crop_pads_and_crops():
+    img = np.ones((10, 10), np.float32)
+    out = T.center_crop(img, 6)
+    assert out.shape == (6, 6)
+    out2 = T.center_crop(img, 20)
+    assert out2.shape == (20, 20)
+    assert out2[0, 0] == 0  # padded corner
+    assert out2[10, 10] == 1
+
+
+def test_mri_train_transform_shape_and_range():
+    rng = np.random.default_rng(2)
+    img = rng.uniform(0, 1, size=(256, 192)).astype(np.float32)
+    out = T.mri_train_transform(img, (64, 64), rng)
+    assert out.shape == (64, 64, 1)
+    assert -1.0 <= out.min() and out.max() <= 1.0
+
+
+def test_synthetic_datasets_contract():
+    ds = SyntheticMRIDataset(img_size=(32, 32), length=5)
+    s = ds[0]
+    assert s["image"].shape == (32, 32, 1)
+    assert s["image"].min() >= -1 and s["image"].max() <= 1
+    # deterministic per index
+    np.testing.assert_array_equal(ds[3]["image"], ds[3]["image"])
+
+    ano = SyntheticAnomalyDataset(img_size=(32, 32), length=3)
+    a = ano[1]
+    assert a["image"].shape == (4, 32, 32, 1)
+    assert a["mask"].shape == (4, 32, 32, 1)
+    assert set(np.unique(a["mask"])) <= {0.0, 1.0}
+    assert a["mask"].sum() > 0  # lesions exist
+
+
+def test_batch_iterator_semantics():
+    ds = SyntheticMRIDataset(img_size=(16, 16), length=10)
+    it = batch_iterator(ds, batch_size=4, shuffle=False)
+    b1 = next(it)
+    assert b1["image"].shape == (4, 16, 16, 1)
+    assert len(b1["filenames"]) == 4
+    # drop_last: 10 // 4 = 2 batches per pass, then cycles
+    b2, b3 = next(it), next(it)
+    assert b3["image"].shape == (4, 16, 16, 1)
+
+
+def test_prefetch_to_device():
+    ds = SyntheticMRIDataset(img_size=(16, 16), length=8)
+    it = prefetch_to_device(batch_iterator(ds, 2, shuffle=False), size=2)
+    batches = [next(it) for _ in range(3)]
+    assert all(b["image"].shape == (2, 16, 16, 1) for b in batches)

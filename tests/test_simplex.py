@@ -56,14 +56,47 @@ def test_octave_field_matches_reference(golden):
 
 
 def test_masked_octaves_equals_static():
-    perm, gid = sx.perm_tables_from_key(jax.random.key(1))
-    static = sx.fractal3_fixed_t(perm, gid, (8, 8), 3.0, octaves=4,
-                                 persistence=0.7, frequency=16.0)
-    masked = sx.fractal3_fixed_t_masked(perm, gid, (8, 8), 3.0,
+    seed = jnp.uint32(12345)
+    static = sx.fractal3_fixed_t_hash(seed, (8, 8), 3.0, octaves=4,
+                                      persistence=0.7, frequency=16.0)
+    masked = sx.fractal3_fixed_t_masked(seed, (8, 8), 3.0,
                                         n_active=4, persistence=0.7,
                                         frequency=16.0, max_octaves=10)
     np.testing.assert_allclose(np.asarray(static), np.asarray(masked),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_hash_path_statistics_match_table_path():
+    """The gather-free hash path must be statistically interchangeable with
+    the table-exact path (same cell walk, uniform gradient choice)."""
+    perm, gid = sx.perm_tables_from_seed(3)
+    pts = np.random.default_rng(3).uniform(-30, 30, size=(4000, 3)).astype(np.float32)
+    table_vals = np.asarray(sx.opensimplex3(
+        jnp.asarray(perm), jnp.asarray(gid),
+        jnp.asarray(pts[:, 0]), jnp.asarray(pts[:, 1]), jnp.asarray(pts[:, 2])))
+    hash_vals = np.asarray(sx.opensimplex3_hash(
+        jnp.uint32(777), jnp.asarray(pts[:, 0]), jnp.asarray(pts[:, 1]),
+        jnp.asarray(pts[:, 2])))
+    # same range, similar spread, both zero-mean-ish
+    assert abs(hash_vals.mean()) < 0.03 and abs(table_vals.mean()) < 0.03
+    assert 0.5 < hash_vals.std() / table_vals.std() < 2.0
+    assert np.abs(hash_vals).max() <= 1.0 + 1e-5
+    # deterministic per seed, different across seeds
+    hash_vals2 = np.asarray(sx.opensimplex3_hash(
+        jnp.uint32(777), jnp.asarray(pts[:, 0]), jnp.asarray(pts[:, 1]),
+        jnp.asarray(pts[:, 2])))
+    np.testing.assert_array_equal(hash_vals, hash_vals2)
+    hash_vals3 = np.asarray(sx.opensimplex3_hash(
+        jnp.uint32(778), jnp.asarray(pts[:, 0]), jnp.asarray(pts[:, 1]),
+        jnp.asarray(pts[:, 2])))
+    assert np.abs(hash_vals - hash_vals3).max() > 1e-3
+
+
+def test_grad_components_match_table():
+    gids = jnp.arange(24, dtype=jnp.int32)
+    gx, gy, gz = sx._grad_components(gids, jnp.float32)
+    got = np.stack([np.asarray(gx), np.asarray(gy), np.asarray(gz)], axis=1)
+    np.testing.assert_array_equal(got, sx.GRADIENTS3)
 
 
 def test_batched_fields_independent_and_deterministic():
