@@ -33,7 +33,7 @@ from .data.datasets import anomalous_dataset_from_args
 from .models.unet import unet_from_args
 from .ops.noise import make_noise_sampler, sampler_from_args
 from .schedule import schedule_from_args
-from .training import make_eval_model_fn
+from .training import EvalModel, jit_with_params
 
 
 def _load_eval_model(root_dir: str, token: str):
@@ -41,13 +41,12 @@ def _load_eval_model(root_dir: str, token: str):
     args, payload, meta = load_parameters(root_dir, token)
     in_channels = resolve_in_channels(args)
     model = unet_from_args(args, in_channels)
-    ema_params = payload["ema"]
-    model_fn = make_eval_model_fn(model, ema_params)
+    em = EvalModel(model, payload["ema"])
     sched = schedule_from_args(args)
-    return args, model_fn, sched
+    return args, em, sched
 
 
-def evaluate_anomaly_batch(model_fn, sched, images, masks, key,
+def evaluate_anomaly_batch(em, sched, images, masks, key,
                            noise_sampler, t_distance: int = 200,
                            fb_jit=None) -> Dict[str, list]:
     """Metrics for one (S, H, W, C) batch of anomalous slices.
@@ -56,9 +55,10 @@ def evaluate_anomaly_batch(model_fn, sched, images, masks, key,
     map thresholded at 0.5 (detection.py:229-250).
     """
     if fb_jit is None:
-        fb_jit = jax.jit(lambda x, k: dmod.forward_backward(
-            model_fn, sched, x, t_distance, k, noise_sampler=noise_sampler,
-            denoise_sampler=noise_sampler))
+        fb_jit = jit_with_params(em, lambda mf: lambda x, k:
+            dmod.forward_backward(mf, sched, x, t_distance, k,
+                                  noise_sampler=noise_sampler,
+                                  denoise_sampler=noise_sampler))
     recon, _ = fb_jit(jnp.asarray(images), key)
     recon = np.asarray(recon)
     images = np.asarray(images)
@@ -82,15 +82,15 @@ def evaluate_anomaly_batch(model_fn, sched, images, masks, key,
 
 def anomalous_metric_calculation(args=None, root_dir: str = ".",
                                  token: Optional[str] = None,
-                                 model_fn=None, sched=None,
+                                 em=None, sched=None,
                                  t_distance: int = 200,
                                  max_volumes: Optional[int] = None
                                  ) -> Dict[str, float]:
     """The headline-metric producer (detection.py:156-287): lambda=200
     partial diffusion per anomalous slice, AUC on raw sq-err, threshold 0.5
     for the rest; writes metrics/args{n}.csv."""
-    if model_fn is None:
-        args, model_fn, sched = _load_eval_model(root_dir, token)
+    if em is None:
+        args, em, sched = _load_eval_model(root_dir, token)
     # the reference hardcodes lambda=200 (detection.py:226) against T=1000;
     # clamp for short-schedule configs where 200 would index past T
     t_distance = min(t_distance, sched.num_timesteps)
@@ -99,8 +99,9 @@ def anomalous_metric_calculation(args=None, root_dir: str = ".",
     n_volumes = len(d_set) if max_volumes is None else min(len(d_set),
                                                            max_volumes)
 
-    fb_jit = jax.jit(lambda x, k: dmod.forward_backward(
-        model_fn, sched, x, t_distance, k, noise_sampler=noise_sampler))
+    fb_jit = jit_with_params(em, lambda mf: lambda x, k:
+        dmod.forward_backward(mf, sched, x, t_distance, k,
+                              noise_sampler=noise_sampler))
 
     key = jax.random.key(int(args.get("seed", 0) or 0) + 1)
     totals = {k: [] for k in ("dice", "ssim", "iou", "precision", "recall",
@@ -110,7 +111,7 @@ def anomalous_metric_calculation(args=None, root_dir: str = ".",
         sample = d_set[i]
         key, sub = jax.random.split(key)
         batch_out, _ = evaluate_anomaly_batch(
-            model_fn, sched, sample["image"], sample["mask"], sub,
+            em, sched, sample["image"], sample["mask"], sub,
             noise_sampler, t_distance, fb_jit=fb_jit)
         for k, v in batch_out.items():
             totals[k].extend(v)
@@ -139,7 +140,7 @@ def anomalous_metric_calculation(args=None, root_dir: str = ".",
     return summary
 
 
-def detection_A(args, model_fn, sched, x_0, mask, file_id, root_dir: str = ".",
+def detection_A(args, em, sched, x_0, mask, file_id, root_dir: str = ".",
                 total_avg: int = 2, key=None):
     """Method A: sweep fixed simplex frequency 2^7..2^1 x lambda in
     {50, 100, ..., 0.6T}; average reconstructions; save comparison grids
@@ -157,9 +158,10 @@ def detection_A(args, model_fn, sched, x_0, mask, file_id, root_dir: str = ".",
             # forward corruption at this frequency; reverse-step noise is
             # gaussian, as in the reference's sample_p default
             # (GaussianDiffusion.py:506-509)
-            fb = jax.jit(lambda x, k: dmod.forward_backward(
-                model_fn, sched, x, t_distance, k, noise_sampler=sampler,
-                denoise_sampler=make_noise_sampler("gauss")))
+            fb = jit_with_params(em, lambda mf: lambda x, k:
+                dmod.forward_backward(mf, sched, x, t_distance, k,
+                                      noise_sampler=sampler,
+                                      denoise_sampler=make_noise_sampler("gauss")))
             recons = []
             for avg in range(total_avg):
                 key, sub = jax.random.split(key)
@@ -177,7 +179,7 @@ def detection_A(args, model_fn, sched, x_0, mask, file_id, root_dir: str = ".",
                 panels, row_size=4)
 
 
-def detection_B(args, model_fn, sched, x_0, mask, file_id,
+def detection_B(args, em, sched, x_0, mask, file_id,
                 denoise_fn: str = "octave", root_dir: str = ".",
                 total_avg: int = 5, key=None):
     """Method B (octave simplex) / C (gaussian): per-lambda mean of
@@ -198,9 +200,10 @@ def detection_B(args, model_fn, sched, x_0, mask, file_id,
     x_0 = jnp.asarray(x_0)
     dice_scores = []
     for t_distance in range(50, end, 50):
-        fb = jax.jit(lambda x, k: dmod.forward_backward(
-            model_fn, sched, x, t_distance, k, noise_sampler=sampler,
-            denoise_sampler=make_noise_sampler("gauss")))
+        fb = jit_with_params(em, lambda mf: lambda x, k:
+            dmod.forward_backward(mf, sched, x, t_distance, k,
+                                  noise_sampler=sampler,
+                                  denoise_sampler=make_noise_sampler("gauss")))
         recons = []
         for _ in range(total_avg):
             key, sub = jax.random.split(key)
@@ -214,7 +217,7 @@ def detection_B(args, model_fn, sched, x_0, mask, file_id,
     return dice_scores
 
 
-def detection_A_fixedT(args, model_fn, sched, x_0, mask, root_dir: str = ".",
+def detection_A_fixedT(args, em, sched, x_0, mask, root_dir: str = ".",
                        end_freq: int = 6, t_distance: int = 250, key=None):
     """Fixed lambda=250, frequency 2^1..2^6 rows of
     (x_0, x_noised, recon, sq-err, thresholded, mask)
@@ -229,9 +232,9 @@ def detection_A_fixedT(args, model_fn, sched, x_0, mask, root_dir: str = ".",
         t_batch = jnp.full((x_0.shape[0],), t_distance - 1, jnp.int32)
         noise = sampler(k_fwd, x_0.shape, t_batch)
         x_noised = dmod.sample_q(sched, x_0, t_batch, noise)
-        recon, _ = jax.jit(lambda x, k: dmod.denoise_chain(
-            model_fn, sched, x, t_distance, k, noise_sampler=sampler))(
-                x_noised, k_rev)
+        recon, _ = jit_with_params(em, lambda mf: lambda x, k:
+            dmod.denoise_chain(mf, sched, x, t_distance, k,
+                               noise_sampler=sampler))(x_noised, k_rev)
         mse = ((np.asarray(x_0) - np.asarray(recon)) ** 2 * 2) - 1
         thresh = ((mse > 0).astype(np.float32) * 2) - 1
         rows.append(np.concatenate(
@@ -246,9 +249,9 @@ def anomalous_validation(args=None, root_dir: str = ".",
     """Per-volume videos + detection method sweeps by noise kind
     (detection.py:17-153 `anomalous_validation_1`)."""
     if args is None:
-        args, model_fn, sched = _load_eval_model(root_dir, token)
+        args, em, sched = _load_eval_model(root_dir, token)
     else:
-        args, model_fn, sched = args
+        args, em, sched = args
     noise_sampler = sampler_from_args(args)
     d_set = anomalous_dataset_from_args(root_dir, args)
     key = jax.random.key(5)
@@ -259,19 +262,21 @@ def anomalous_validation(args=None, root_dir: str = ".",
         mask = sample["mask"][:1]
         file_id = os.path.basename(str(sample["filenames"]))
         key, k1, k2 = jax.random.split(key, 3)
-        _, frames = jax.jit(lambda xx, k: dmod.forward_backward(
-            model_fn, sched, xx, int(args["sample_distance"]), k,
-            noise_sampler=noise_sampler, see_whole_sequence="whole"))(x, k1)
+        _, frames = jit_with_params(em, lambda mf: lambda xx, k:
+            dmod.forward_backward(mf, sched, xx,
+                                  int(args["sample_distance"]), k,
+                                  noise_sampler=noise_sampler,
+                                  see_whole_sequence="whole"))(x, k1)
         vz.save_video(
             os.path.join(root_dir, "diffusion-videos",
                          f"ARGS={args['arg_num']}", "Anomalous",
                          file_id, "full.mp4"),
             list(np.asarray(frames)))
         if str(args.get("noise_fn")) == "gauss":
-            detection_B(args, model_fn, sched, x, mask, file_id,
+            detection_B(args, em, sched, x, mask, file_id,
                         denoise_fn="gauss", root_dir=root_dir, key=k2)
         else:
-            detection_B(args, model_fn, sched, x, mask, file_id,
+            detection_B(args, em, sched, x, mask, file_id,
                         denoise_fn="octave", root_dir=root_dir, key=k2)
 
 

@@ -24,15 +24,16 @@ from .ops.noise import NoiseSampler, gaussian_noise
 from .schedule import Schedule
 
 
-def testing(test_iter, model_fn, sched: Schedule, args,
+def testing(test_iter, em, sched: Schedule, args,
             noise_sampler: NoiseSampler = gaussian_noise,
             key: Optional[jax.Array] = None, root_dir: str = ".",
             n_images: int = 40, save_videos: bool = True) -> Dict[str, float]:
     """Evaluate on the test set (evaluation.py:90-186).
 
-    test_iter yields {"image": (B, H, W, C)} host batches; model_fn is the
-    EMA eps-predictor closure.
+    test_iter yields {"image": (B, H, W, C)} host batches; em is the
+    EvalModel (EMA module + params — passed to jit as runtime args).
     """
+    from .training import jit_with_params
     if key is None:
         key = jax.random.key(0)
     arg_num = args["arg_num"]
@@ -42,15 +43,15 @@ def testing(test_iter, model_fn, sched: Schedule, args,
     sample_distance = int(args.get("sample_distance") or sched.num_timesteps)
     t_half = sched.num_timesteps // 2
 
-    fb = jax.jit(
-        lambda x, k, td: dm.forward_backward(
-            model_fn, sched, x, td, k, noise_sampler=noise_sampler,
-            see_whole_sequence="half"),
-        static_argnums=(2,))
-    fb_plain = jax.jit(
-        lambda x, k: dm.forward_backward(model_fn, sched, x, t_half, k,
-                                         noise_sampler=noise_sampler))
-    vlb_fn = jax.jit(lambda x, k: dm.calc_total_vlb(model_fn, sched, x, k))
+    def fb(x, k, td):
+        f = jit_with_params(em, lambda mf: lambda xx, kk: dm.forward_backward(
+            mf, sched, xx, td, kk, noise_sampler=noise_sampler,
+            see_whole_sequence="half"))
+        return f(x, k)
+    fb_plain = jit_with_params(em, lambda mf: lambda x, k: dm.forward_backward(
+        mf, sched, x, t_half, k, noise_sampler=noise_sampler))
+    vlb_fn = jit_with_params(em, lambda mf: lambda x, k: dm.calc_total_vlb(
+        mf, sched, x, k))
 
     # 1. partial-diffusion videos at lambda in {100, 200, ...}
     if save_videos:

@@ -22,6 +22,7 @@ from . import diffusion as dmod
 from . import visualize as vz
 from .data.datasets import anomalous_dataset_from_args
 from .detect import _load_eval_model, detection_A_fixedT
+from .training import jit_with_params
 from .ops.noise import make_noise_sampler, sampler_from_args
 
 
@@ -44,16 +45,17 @@ def _first_slice(args, root_dir, index: int = 0):
     return jnp.asarray(img), (np.asarray(mask) if mask is not None else None)
 
 
-def denoise_sequence(args, model_fn, sched, root_dir: str = ".",
+def denoise_sequence(args, em, sched, root_dir: str = ".",
                      t_distance: Optional[int] = None, n_cols: int = 13):
     """Forward/backward filmstrip figure (generate_images.py:36-115)."""
     x, _ = _first_slice(args, root_dir)
     if t_distance is None:
         t_distance = int(args["sample_distance"]) // 2
     sampler = sampler_from_args(args)
-    _, frames = jax.jit(lambda xx, k: dmod.forward_backward(
-        model_fn, sched, xx, t_distance, k, noise_sampler=sampler,
-        see_whole_sequence="whole"))(x, jax.random.key(0))
+    _, frames = jit_with_params(em, lambda mf: lambda xx, k:
+        dmod.forward_backward(mf, sched, xx, t_distance, k,
+                              noise_sampler=sampler,
+                              see_whole_sequence="whole"))(x, jax.random.key(0))
     frames = np.asarray(frames)
     idxs = np.linspace(0, frames.shape[0] - 1, n_cols).astype(int)
     strip = np.concatenate([frames[i] for i in idxs], axis=0)
@@ -62,14 +64,15 @@ def denoise_sequence(args, model_fn, sched, root_dir: str = ".",
                      strip, row_size=n_cols)
 
 
-def masked_comparison(args, model_fn, sched, root_dir: str = ".",
+def masked_comparison(args, em, sched, root_dir: str = ".",
                       t_distance: int = 250, n_volumes: int = 4):
     """Rows of (input, reconstruction, sq-err, prediction, mask)
     (generate_images.py:118-184)."""
     sampler = sampler_from_args(args)
-    fb = jax.jit(lambda xx, k: dmod.forward_backward(
-        model_fn, sched, xx, min(t_distance, sched.num_timesteps), k,
-        noise_sampler=sampler))
+    fb = jit_with_params(em, lambda mf: lambda xx, k:
+        dmod.forward_backward(mf, sched, xx,
+                              min(t_distance, sched.num_timesteps), k,
+                              noise_sampler=sampler))
     rows = []
     for i in range(n_volumes):
         x, mask = _first_slice(args, root_dir, index=i)
@@ -85,14 +88,14 @@ def masked_comparison(args, model_fn, sched, root_dir: str = ".",
                      np.concatenate(rows, axis=0), row_size=5)
 
 
-def diffusion_videos(args, model_fn, sched, root_dir: str = ".",
+def diffusion_videos(args, em, sched, root_dir: str = ".",
                      n_volumes: int = 2):
     """Per-volume partial-diffusion videos (generate_images.py:187-276)."""
     sampler = sampler_from_args(args)
     lam = int(args["sample_distance"]) // 2
-    f = jax.jit(lambda xx, k: dmod.forward_backward(
-        model_fn, sched, xx, lam, k, noise_sampler=sampler,
-        see_whole_sequence="whole"))
+    f = jit_with_params(em, lambda mf: lambda xx, k:
+        dmod.forward_backward(mf, sched, xx, lam, k, noise_sampler=sampler,
+                              see_whole_sequence="whole"))
     for i in range(n_volumes):
         x, _ = _first_slice(args, root_dir, index=i)
         _, frames = f(x, jax.random.key(i))
@@ -101,7 +104,7 @@ def diffusion_videos(args, model_fn, sched, root_dir: str = ".",
                       list(np.asarray(frames)))
 
 
-def gauss_simplex_comparison(args, model_fn, sched, root_dir: str = ".",
+def gauss_simplex_comparison(args, em, sched, root_dir: str = ".",
                              t_distance: int = 250):
     """Side-by-side Gaussian vs simplex reconstruction rows
     (generate_images.py:397-543)."""
@@ -110,9 +113,9 @@ def gauss_simplex_comparison(args, model_fn, sched, root_dir: str = ".",
     rows = []
     for kind in ("gauss", "simplex"):
         sampler = make_noise_sampler(kind)
-        recon, _ = jax.jit(lambda xx, k: dmod.forward_backward(
-            model_fn, sched, xx, td, k, noise_sampler=sampler))(
-                x, jax.random.key(7))
+        recon, _ = jit_with_params(em, lambda mf: lambda xx, k:
+            dmod.forward_backward(mf, sched, xx, td, k,
+                                  noise_sampler=sampler))(x, jax.random.key(7))
         recon = np.asarray(recon)
         mse = ((np.asarray(x) - recon) ** 2 * 2) - 1
         pred = ((mse > 0).astype(np.float32) * 2) - 1
@@ -124,13 +127,13 @@ def gauss_simplex_comparison(args, model_fn, sched, root_dir: str = ".",
                      np.concatenate(rows, axis=0), row_size=5)
 
 
-def varying_frequency(args, model_fn, sched, root_dir: str = ".",
+def varying_frequency(args, em, sched, root_dir: str = ".",
                       end_freq: int = 6):
     """Fig-3-style frequency sweep grid via detection_A_fixedT
     (generate_images.py:696-788)."""
     x, mask = _first_slice(args, root_dir)
     mask_panel = mask if mask is not None else np.zeros(np.asarray(x).shape)
-    grid = detection_A_fixedT(args, model_fn, sched, x, mask_panel,
+    grid = detection_A_fixedT(args, em, sched, x, mask_panel,
                               root_dir=root_dir, end_freq=end_freq,
                               t_distance=min(250, sched.num_timesteps))
     vz.save_grid_png(os.path.join(_out_dir(root_dir),
@@ -138,7 +141,7 @@ def varying_frequency(args, model_fn, sched, root_dir: str = ".",
                      grid, row_size=6)
 
 
-def gauss_varying_t(args, model_fn, sched, root_dir: str = ".",
+def gauss_varying_t(args, em, sched, root_dir: str = ".",
                     lambdas=(250, 500, 750)):
     """Gaussian reconstructions at lambda in {250, 500, 750}
     (generate_images.py:791-932)."""
@@ -147,9 +150,9 @@ def gauss_varying_t(args, model_fn, sched, root_dir: str = ".",
     rows = [np.asarray(x)]
     for lam in lambdas:
         lam = min(lam, sched.num_timesteps)
-        recon, _ = jax.jit(lambda xx, k: dmod.forward_backward(
-            model_fn, sched, xx, lam, k, noise_sampler=sampler))(
-                x, jax.random.key(lam))
+        recon, _ = jit_with_params(em, lambda mf: lambda xx, k:
+            dmod.forward_backward(mf, sched, xx, lam, k,
+                                  noise_sampler=sampler))(x, jax.random.key(lam))
         rows.append(np.asarray(recon))
     rows.append(mask if mask is not None else np.zeros_like(rows[0]))
     vz.save_grid_png(os.path.join(_out_dir(root_dir),
@@ -174,11 +177,11 @@ def main(argv=None):
                          f"[{'|'.join(GENERATORS)}|all]")
     token = argv[0]
     which = argv[1] if len(argv) > 1 else "all"
-    args, model_fn, sched = _load_eval_model(".", token)
+    args, em, sched = _load_eval_model(".", token)
     targets = GENERATORS if which == "all" else {which: GENERATORS[which]}
     for name, fn in targets.items():
         print(f"generating {name}...", flush=True)
-        fn(args, model_fn, sched)
+        fn(args, em, sched)
 
 
 if __name__ == "__main__":

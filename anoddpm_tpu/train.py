@@ -31,8 +31,9 @@ from .data.pipeline import batch_iterator, prefetch_to_device
 from .models.unet import unet_from_args
 from .ops.noise import sampler_from_args
 from .parallel.mesh import make_mesh
-from .training import (init_train_state, jit_train_step, make_eval_model_fn,
-                       make_optimizer, make_train_step, TrainState)
+from .training import (EvalModel, init_train_state, jit_train_step,
+                       jit_with_params, make_eval_model_fn, make_optimizer,
+                       make_train_step, TrainState)
 
 
 def train(args, root_dir: str = ".", resume: Optional[str] = None,
@@ -97,7 +98,6 @@ def train(args, root_dir: str = ".", resume: Optional[str] = None,
     checkpoint_every = int(args.get("checkpoint_every", 1000) or 1000)
 
     vlb_fn = None
-    ema_model_fn = lambda params: make_eval_model_fn(model, params)
     start_time = time.time()
     losses = []
     vlb_log = []
@@ -121,7 +121,6 @@ def train(args, root_dir: str = ".", resume: Optional[str] = None,
 
         if epoch % 200 == 0:
             if vlb_fn is None:
-                mf = make_eval_model_fn(model, state.params)
                 vlb_fn = jax.jit(
                     lambda params, x, k: dmod.calc_total_vlb(
                         make_eval_model_fn(model, params), sched, x, k))
@@ -150,11 +149,12 @@ def train(args, root_dir: str = ".", resume: Optional[str] = None,
                 and epoch > start_epoch):
             key, sub = jax.random.split(key)
             lam = int(args["sample_distance"]) // (2 if epoch % 1000 == 0 else 4)
-            mf = make_eval_model_fn(model, state.ema_params)
-            _, frames = jax.jit(
-                lambda x, k: dmod.forward_backward(
-                    mf, sched, x, lam, k, noise_sampler=noise_sampler,
-                    see_whole_sequence="half"))(jnp.asarray(batch["image"]), sub)
+            em = EvalModel(model, state.ema_params)
+            _, frames = jit_with_params(em, lambda mf: lambda x, k:
+                dmod.forward_backward(mf, sched, x, lam, k,
+                                      noise_sampler=noise_sampler,
+                                      see_whole_sequence="half"))(
+                jnp.asarray(batch["image"]), sub)
             vz.save_video(
                 f"{root_dir}/diffusion-videos/ARGS={args['arg_num']}/"
                 f"sample-EPOCH={epoch}.mp4",
@@ -164,8 +164,8 @@ def train(args, root_dir: str = ".", resume: Optional[str] = None,
                     state.opt_state, final=True)
     purge_checkpoints(root_dir, args["arg_num"])
 
-    ema_fn = make_eval_model_fn(model, state.ema_params)
-    ev.testing(iter(test_loader), ema_fn, sched, args,
+    ev.testing(iter(test_loader), EvalModel(model, state.ema_params),
+               sched, args,
                noise_sampler=noise_sampler, root_dir=root_dir,
                save_videos=bool(args.get("save_vids")))
     return state

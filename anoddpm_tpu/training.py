@@ -124,8 +124,41 @@ def jit_train_step(train_step: Callable, mesh=None, ndim: int = 4) -> Callable:
 
 
 def make_eval_model_fn(model, params) -> dm.ModelFn:
-    """Deterministic eps-predictor closure for sampling/eval."""
+    """Deterministic eps-predictor closure for sampling/eval.
+
+    NOTE: only for use INSIDE an already-jitted function whose params come in
+    as arguments.  jitting a closure over large params embeds them as HLO
+    constants (a 131M-param model becomes a ~500MB program — this
+    environment's compile service rejects it).  At jit boundaries use
+    `EvalModel` + `jit_with_params` instead.
+    """
     @functools.wraps(model.apply)
     def model_fn(x, t):
         return model.apply(params, x, t)
     return model_fn
+
+
+class EvalModel:
+    """A (flax module, params) pair for evaluation-time sampling."""
+
+    def __init__(self, module, params):
+        self.module = module
+        self.params = params
+
+    def __call__(self, x, t):
+        return self.module.apply(self.params, x, t)
+
+
+def jit_with_params(em: EvalModel, fn_of_modelfn: Callable) -> Callable:
+    """jit a sampler built from a model_fn, passing params as a RUNTIME
+    argument (never baked into the program as constants).
+
+    fn_of_modelfn(model_fn) must return f(*args); the returned callable has
+    the same signature as f.
+    """
+    @jax.jit
+    def wrapped(params, *args):
+        mf = lambda xx, tt: em.module.apply(params, xx, tt)
+        return fn_of_modelfn(mf)(*args)
+
+    return functools.partial(wrapped, em.params)

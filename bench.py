@@ -47,18 +47,22 @@ def run_bench(batch: int, t_distance: int = 250, img: int = 256,
     # non-degenerate weights so zero-init layers don't shortcut the math
     params = jax.tree_util.tree_map(lambda p: p + 0.01, params)
 
-    def model_fn(xx, tt):
-        return model.apply(params, xx, tt)
-
     sampler = make_noise_sampler(noise_kind)
-    fb = jax.jit(lambda xx, k: dm.forward_backward(
-        model_fn, sched, xx, t_distance, k, noise_sampler=sampler))
+
+    # params are an explicit jit ARGUMENT: closing over them would embed
+    # 131M parameters as HLO constants (a ~500MB program that the compile
+    # service rejects with HTTP 413)
+    @jax.jit
+    def fb(params, xx, k):
+        mf = lambda a, b: model.apply(params, a, b)
+        return dm.forward_backward(mf, sched, xx, t_distance, k,
+                                   noise_sampler=sampler)
 
     if warmup:
-        fb(x, jax.random.key(999))[0].block_until_ready()
+        fb(params, x, jax.random.key(999))[0].block_until_ready()
     t0 = time.time()
     for i in range(repeats):
-        recon, _ = fb(x, jax.random.key(i))
+        recon, _ = fb(params, x, jax.random.key(i))
         recon.block_until_ready()
     dt = (time.time() - t0) / repeats
     return batch / dt, dt

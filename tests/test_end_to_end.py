@@ -108,11 +108,12 @@ def test_corrupt_checkpoint_skipped(tmp_path, setup):
 def test_detection_metrics_on_synthetic(setup):
     model, sched, tx, state = setup
     from anoddpm_tpu.detect import evaluate_anomaly_batch
-    model_fn = make_eval_model_fn(model, state.ema_params)
+    from anoddpm_tpu.training import EvalModel
+    em = EvalModel(model, state.ema_params)
     ds = SyntheticAnomalyDataset(img_size=(IMG, IMG), length=1)
     sample = ds[0]
     out, recon = evaluate_anomaly_batch(
-        model_fn, sched, sample["image"], sample["mask"], jax.random.key(2),
+        em, sched, sample["image"], sample["mask"], jax.random.key(2),
         make_noise_sampler("gauss"), t_distance=5)
     for k, v in out.items():
         assert len(v) == 4, k
