@@ -99,9 +99,18 @@ def anomalous_metric_calculation(args=None, root_dir: str = ".",
     n_volumes = len(d_set) if max_volumes is None else min(len(d_set),
                                                            max_volumes)
 
-    fb_jit = jit_with_params(em, lambda mf: lambda x, k:
-        dmod.forward_backward(mf, sched, x, t_distance, k,
-                              noise_sampler=noise_sampler))
+    # sampler selection: "ddpm" (reference protocol) or "ddim" with
+    # args["ddim_steps"] strided deterministic reverse steps (framework
+    # extension for production throughput; arXiv:2010.02502)
+    if str(args.get("sampler") or "ddpm") == "ddim":
+        ddim_steps = int(args.get("ddim_steps") or 25)
+        fb_jit = jit_with_params(em, lambda mf: lambda x, k:
+            dmod.forward_backward_ddim(mf, sched, x, t_distance, ddim_steps,
+                                       k, noise_sampler=noise_sampler))
+    else:
+        fb_jit = jit_with_params(em, lambda mf: lambda x, k:
+            dmod.forward_backward(mf, sched, x, t_distance, k,
+                                  noise_sampler=noise_sampler))
 
     key = jax.random.key(int(args.get("seed", 0) or 0) + 1)
     totals = {k: [] for k in ("dice", "ssim", "iou", "precision", "recall",
@@ -280,14 +289,122 @@ def anomalous_validation(args=None, root_dir: str = ".",
                         denoise_fn="octave", root_dir=root_dir, key=k2)
 
 
+def graph_data(args=None, root_dir: str = ".", token: Optional[str] = None,
+               lambdas=None, max_volumes: int = 4):
+    """Per-lambda metric curves -> metrics/args{n}-lambda.csv + plot
+    (detection.py:290-428 `graph_data`).  Sweeps lambda, evaluating
+    dice/ssim/iou/auc on anomalous volumes at each."""
+    if args is None:
+        args, em, sched = _load_eval_model(root_dir, token)
+    else:
+        args, em, sched = args
+    noise_sampler = sampler_from_args(args)
+    if lambdas is None:
+        lambdas = range(50, sched.num_timesteps, 50)
+    d_set = anomalous_dataset_from_args(root_dir, args)
+    n = min(len(d_set), max_volumes)
+    rows = []
+    key = jax.random.key(11)
+    for t_distance in lambdas:
+        fb = jit_with_params(em, lambda mf: lambda x, k:
+            dmod.forward_backward(mf, sched, x, int(t_distance), k,
+                                  noise_sampler=noise_sampler))
+        per = {k: [] for k in ("dice", "ssim", "iou", "auc")}
+        for i in range(n):
+            sample = d_set[i]
+            key, sub = jax.random.split(key)
+            out, _ = evaluate_anomaly_batch(em, sched, sample["image"],
+                                            sample["mask"], sub,
+                                            noise_sampler,
+                                            int(t_distance), fb_jit=fb)
+            for k in per:
+                per[k].extend(out[k])
+        rows.append({"t": int(t_distance),
+                     **{k: float(np.mean(v)) for k, v in per.items()}})
+        print(f"lambda={t_distance}: " + ", ".join(
+            f"{k}={rows[-1][k]:.4f}" for k in ("dice", "ssim", "iou", "auc")),
+            flush=True)
+    import pandas as pd
+    metrics_dir = os.path.join(root_dir, "metrics")
+    os.makedirs(metrics_dir, exist_ok=True)
+    csv_path = os.path.join(metrics_dir, f"args{args['arg_num']}-lambda.csv")
+    pd.DataFrame(rows).to_csv(csv_path, index=False)
+    from .graphs import graph_dice_comparison
+    graph_dice_comparison(
+        [csv_path], [f"args{args['arg_num']}"],
+        os.path.join(root_dir, "final-outputs",
+                     f"args{args['arg_num']}-dice-lambda.png"))
+    return rows
+
+
+def roc_data(tokens, labels=None, root_dir: str = ".",
+             t_distance: int = 200, max_volumes: Optional[int] = None):
+    """Multi-method pixel ROC comparison -> CSV + figure
+    (detection.py:431-680 `roc_data`).
+
+    The reference compares simplex / hybrid / gaussian / a GAN
+    context-encoder; the GAN baseline's code is absent from the reference
+    repo itself (Comparative_models/CE.py — SURVEY.md §2.2), so this
+    compares the diffusion checkpoints given in `tokens`.
+    """
+    labels = labels or [f"args{t}" for t in tokens]
+    curves = {}
+    for token, label in zip(tokens, labels):
+        args, em, sched = _load_eval_model(root_dir, token)
+        noise_sampler = sampler_from_args(args)
+        td = min(t_distance, sched.num_timesteps)
+        fb = jit_with_params(em, lambda mf: lambda x, k:
+            dmod.forward_backward(mf, sched, x, td, k,
+                                  noise_sampler=noise_sampler))
+        d_set = anomalous_dataset_from_args(root_dir, args)
+        n = len(d_set) if max_volumes is None else min(len(d_set), max_volumes)
+        key = jax.random.key(13)
+        all_scores, all_labels = [], []
+        for i in range(n):
+            sample = d_set[i]
+            key, sub = jax.random.split(key)
+            recon, _ = fb(jnp.asarray(sample["image"]), sub)
+            mse = (np.asarray(sample["image"]) - np.asarray(recon)) ** 2
+            all_scores.append(mse.reshape(-1))
+            all_labels.append(np.asarray(sample["mask"]).reshape(-1))
+        fpr, tpr, _ = M.roc_curve(np.concatenate(all_labels),
+                                  np.concatenate(all_scores))
+        curves[label] = (fpr, tpr)
+        print(f"{label}: AUC={M.auc(fpr, tpr):.4f}", flush=True)
+
+    from .graphs import make_roc_csv
+    out_csv = os.path.join(root_dir, "metrics", "roc-comparison.csv")
+    make_roc_csv(curves, out_csv)
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    plt.figure(dpi=150)
+    for label, (fpr, tpr) in curves.items():
+        plt.plot(fpr, tpr, label=f"{label} (AUC={M.auc(fpr, tpr):.3f})")
+    plt.plot([0, 1], [0, 1], "k--", alpha=0.3)
+    plt.xlabel("FPR")
+    plt.ylabel("TPR")
+    plt.legend()
+    os.makedirs(os.path.join(root_dir, "final-outputs"), exist_ok=True)
+    plt.savefig(os.path.join(root_dir, "final-outputs", "roc-comparison.png"),
+                bbox_inches="tight")
+    plt.close("all")
+    return curves
+
+
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv:
         raise SystemExit("usage: python -m anoddpm_tpu.detect <ARG_NUM> "
-                         "[validation]")
+                         "[validation|graph|roc <ARG_NUM2>...]")
     token = argv[0]
-    if len(argv) > 1 and argv[1] == "validation":
+    mode = argv[1] if len(argv) > 1 else "metrics"
+    if mode == "validation":
         anomalous_validation(token=token)
+    elif mode == "graph":
+        graph_data(token=token)
+    elif mode == "roc":
+        roc_data([token] + argv[2:])
     else:
         anomalous_metric_calculation(token=token)
 

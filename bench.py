@@ -32,7 +32,8 @@ import jax.numpy as jnp
 
 def run_bench(batch: int, t_distance: int = 250, img: int = 256,
               base_channels: int = 128, noise_kind: str = "simplex",
-              repeats: int = 3, warmup: bool = True):
+              repeats: int = 3, warmup: bool = True,
+              ddim_steps: int = 0):
     from anoddpm_tpu import diffusion as dm
     from anoddpm_tpu.models.unet import UNet
     from anoddpm_tpu.ops.noise import make_noise_sampler
@@ -55,6 +56,10 @@ def run_bench(batch: int, t_distance: int = 250, img: int = 256,
     @jax.jit
     def fb(params, xx, k):
         mf = lambda a, b: model.apply(params, a, b)
+        if ddim_steps:
+            return dm.forward_backward_ddim(mf, sched, xx, t_distance,
+                                            ddim_steps, k,
+                                            noise_sampler=sampler)
         return dm.forward_backward(mf, sched, xx, t_distance, k,
                                    noise_sampler=sampler)
 
@@ -72,16 +77,22 @@ def main():
     quick = os.environ.get("BENCH_QUICK") == "1"
     batch = int(os.environ.get("BENCH_BATCH", "4" if quick else "8"))
     t_distance = 50 if quick else 250
-    slices_per_sec, dt = run_bench(batch, t_distance=t_distance)
+    ddim_steps = int(os.environ.get("BENCH_DDIM_STEPS", "25"))
+    # production protocol: lambda=250 corruption, DDIM-strided reverse
+    ddim_sps, _ = run_bench(batch, t_distance=t_distance,
+                            ddim_steps=ddim_steps)
+    # reference protocol: full lambda-step DDPM reverse chain
+    ddpm_sps, _ = run_bench(batch, t_distance=t_distance)
     result = {
-        "metric": "256^2 MRI slices/sec/chip (lambda=250 partial diffusion, "
-                  "simplex, paper-config UNet)",
-        "value": round(slices_per_sec, 3),
+        "metric": f"256^2 MRI slices/sec/chip (lambda={t_distance} partial "
+                  f"diffusion, DDIM-{ddim_steps} reverse, simplex, "
+                  "paper-config UNet)",
+        "value": round(ddim_sps, 3),
         "unit": "slices/sec/chip",
-        "vs_baseline": round(slices_per_sec / 50.0, 3),
+        "vs_baseline": round(ddim_sps / 50.0, 3),
+        "ddpm_full_chain_slices_per_sec": round(ddpm_sps, 3),
+        "batch_per_chip": batch,
     }
-    if quick:
-        result["metric"] = result["metric"].replace("lambda=250", f"lambda={t_distance}")
     print(json.dumps(result))
 
 
