@@ -289,6 +289,70 @@ def anomalous_validation(args=None, root_dir: str = ".",
                         denoise_fn="octave", root_dir=root_dir, key=k2)
 
 
+def sharded_anomalous_metrics(args, em, sched, mesh, root_dir: str = ".",
+                              t_distance: int = 200,
+                              max_volumes: Optional[int] = None):
+    """Data-parallel headline metrics: ALL anomalous slices gathered into one
+    global batch, sharded over the mesh's 'data' axis, one jitted
+    forward_backward for the whole evaluation (the reference evaluates
+    slice-by-slice on one device, detection.py:208-250).
+
+    Detection sweeps are embarrassingly parallel across slices (SURVEY.md
+    §2.3) — XLA partitions the chain across chips with zero collectives in
+    the hot loop.
+    """
+    from .parallel.mesh import batch_sharding, replicated
+    t_distance = min(t_distance, sched.num_timesteps)
+    noise_sampler = sampler_from_args(args)
+    d_set = anomalous_dataset_from_args(root_dir, args)
+    n_volumes = len(d_set) if max_volumes is None else min(len(d_set),
+                                                           max_volumes)
+    images, masks = [], []
+    for i in range(n_volumes):
+        sample = d_set[i]
+        img = sample["image"]
+        img = img if img.ndim == 4 else img[None]
+        msk = sample["mask"]
+        msk = msk if msk.ndim == 4 else msk[None]
+        images.append(np.asarray(img))
+        masks.append(np.asarray(msk))
+    images = np.concatenate(images)
+    masks = np.concatenate(masks)
+    n_slices = images.shape[0]
+
+    # pad to a multiple of the mesh size
+    n_dev = mesh.devices.size
+    pad = (-n_slices) % n_dev
+    if pad:
+        images = np.concatenate([images, images[:pad]])
+
+    rep = replicated(mesh)
+    fb = jax.jit(
+        lambda params, x, k: dmod.forward_backward(
+            lambda xx, tt: em.module.apply(params, xx, tt), sched, x,
+            t_distance, k, noise_sampler=noise_sampler),
+        in_shardings=(rep, batch_sharding(mesh, 4), rep),
+        out_shardings=(batch_sharding(mesh, 4), None))
+    x = jax.device_put(jnp.asarray(images), batch_sharding(mesh, 4))
+    recon, _ = fb(em.params, x, jax.random.key(17))
+    recon = np.asarray(recon)[:n_slices]
+
+    totals = {k: [] for k in ("dice", "ssim", "iou", "precision", "recall",
+                              "fpr", "auc")}
+    for s in range(n_slices):
+        img, rec, msk = images[s], recon[s], masks[s]
+        mse_raw = M.square_error(img, rec)
+        pred = (mse_raw > 0.5).astype(np.float32)
+        totals["auc"].append(M.roc_auc_score(msk.astype(np.uint8), mse_raw))
+        totals["dice"].append(M.dice_coeff(img, rec, msk, mse=pred))
+        totals["ssim"].append(M.ssim(img, rec, channel_axis=2))
+        totals["precision"].append(M.precision(msk, pred))
+        totals["recall"].append(M.recall(msk, pred))
+        totals["iou"].append(M.iou(msk, pred))
+        totals["fpr"].append(M.fpr(msk, pred))
+    return {k: float(np.mean(v)) for k, v in totals.items()}
+
+
 def graph_data(args=None, root_dir: str = ".", token: Optional[str] = None,
                lambdas=None, max_volumes: int = 4):
     """Per-lambda metric curves -> metrics/args{n}-lambda.csv + plot

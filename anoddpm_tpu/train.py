@@ -23,6 +23,7 @@ import numpy as np
 from . import diffusion as dmod
 from . import evaluation as ev
 from . import visualize as vz
+from .observe import MetricsLogger, StepTimer, maybe_profile
 from .checkpoint import (latest_checkpoint_path, load_checkpoint,
                          purge_checkpoints, save_checkpoint)
 from .config import load_args, resolve_in_channels
@@ -101,6 +102,8 @@ def train(args, root_dir: str = ".", resume: Optional[str] = None,
     start_time = time.time()
     losses = []
     vlb_log = []
+    mlog = MetricsLogger(f"{root_dir}/metrics/args{args['arg_num']}-train.jsonl")
+    timer = StepTimer()
 
     for epoch in range(start_epoch, epochs + 1):
         epoch_losses = []
@@ -108,6 +111,7 @@ def train(args, root_dir: str = ".", resume: Optional[str] = None,
             batch = next(loader)
             x = batch["image"]
             state, metrics = train_step(state, x, key)
+            timer.tick()
             epoch_losses.append(metrics["loss"])
 
             if epoch % 50 == 0 and i == 0 and args.get("save_imgs"):
@@ -118,6 +122,11 @@ def train(args, root_dir: str = ".", resume: Optional[str] = None,
                                      np.asarray(metrics["estimate"]), epoch)
 
         losses.append(float(jnp.mean(jnp.stack(epoch_losses))))
+        if epoch % 10 == 0:
+            mlog.log(int(state.step), epoch=epoch, loss=losses[-1],
+                     grad_norm=metrics["grad_norm"],
+                     imgs_per_sec=(batch_size / timer.mean
+                                   if timer.mean == timer.mean else 0.0))
 
         if epoch % 200 == 0:
             if vlb_fn is None:
@@ -160,6 +169,7 @@ def train(args, root_dir: str = ".", resume: Optional[str] = None,
                 f"sample-EPOCH={epoch}.mp4",
                 list(np.asarray(frames)), row_size=min(8, batch_size))
 
+    mlog.close()
     save_checkpoint(root_dir, args, epochs, state.params, state.ema_params,
                     state.opt_state, final=True)
     purge_checkpoints(root_dir, args["arg_num"])
