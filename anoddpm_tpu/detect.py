@@ -104,9 +104,12 @@ def anomalous_metric_calculation(args=None, root_dir: str = ".",
     # extension for production throughput; arXiv:2010.02502)
     if str(args.get("sampler") or "ddpm") == "ddim":
         ddim_steps = int(args.get("ddim_steps") or 25)
+        ddim_eta = float(args.get("ddim_eta") if args.get("ddim_eta") != ""
+                         else 0.0)
         fb_jit = jit_with_params(em, lambda mf: lambda x, k:
             dmod.forward_backward_ddim(mf, sched, x, t_distance, ddim_steps,
-                                       k, noise_sampler=noise_sampler))
+                                       k, noise_sampler=noise_sampler,
+                                       eta=ddim_eta))
     else:
         fb_jit = jit_with_params(em, lambda mf: lambda x, k:
             dmod.forward_backward(mf, sched, x, t_distance, k,

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 def run_bench(batch: int, t_distance: int = 250, img: int = 256,
               base_channels: int = 128, noise_kind: str = "simplex",
               repeats: int = 3, warmup: bool = True,
-              ddim_steps: int = 0):
+              ddim_steps: int = 0, ddim_eta: float = 1.0):
     from anoddpm_tpu import diffusion as dm
     from anoddpm_tpu.models.unet import UNet
     from anoddpm_tpu.ops.noise import make_noise_sampler
@@ -57,9 +57,12 @@ def run_bench(batch: int, t_distance: int = 250, img: int = 256,
     def fb(params, xx, k):
         mf = lambda a, b: model.apply(params, a, b)
         if ddim_steps:
+            # eta=1 stochastic DDIM: the quality-validated accelerated
+            # protocol (Dice parity with the full chain; see BENCHNOTES.md)
             return dm.forward_backward_ddim(mf, sched, xx, t_distance,
                                             ddim_steps, k,
-                                            noise_sampler=sampler)
+                                            noise_sampler=sampler,
+                                            eta=ddim_eta)
         return dm.forward_backward(mf, sched, xx, t_distance, k,
                                    noise_sampler=sampler)
 
@@ -78,15 +81,16 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", "4" if quick else "8"))
     t_distance = 50 if quick else 250
     ddim_steps = int(os.environ.get("BENCH_DDIM_STEPS", "25"))
+    ddim_eta = float(os.environ.get("BENCH_DDIM_ETA", "1.0"))
     # production protocol: lambda=250 corruption, DDIM-strided reverse
     ddim_sps, _ = run_bench(batch, t_distance=t_distance,
-                            ddim_steps=ddim_steps)
+                            ddim_steps=ddim_steps, ddim_eta=ddim_eta)
     # reference protocol: full lambda-step DDPM reverse chain
     ddpm_sps, _ = run_bench(batch, t_distance=t_distance)
     result = {
         "metric": f"256^2 MRI slices/sec/chip (lambda={t_distance} partial "
-                  f"diffusion, DDIM-{ddim_steps} reverse, simplex, "
-                  "paper-config UNet)",
+                  f"diffusion, DDIM-{ddim_steps} eta={ddim_eta} reverse, "
+                  "simplex, paper-config UNet)",
         "value": round(ddim_sps, 3),
         "unit": "slices/sec/chip",
         "vs_baseline": round(ddim_sps / 50.0, 3),
