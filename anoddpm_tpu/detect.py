@@ -141,14 +141,7 @@ def anomalous_metric_calculation(args=None, root_dir: str = ".",
         summary[k + "_std"] = float(np.std(totals[k]))
         print(f"{k}: {summary[k]:.4f} +- {summary[k + '_std']:.4f}")
 
-    metrics_dir = os.path.join(root_dir, "metrics")
-    os.makedirs(metrics_dir, exist_ok=True)
-    with open(os.path.join(metrics_dir, f"args{args['arg_num']}.csv"),
-              "w") as f:
-        f.write("dice,ssim,iou,precision,recall,fpr,auc\n")
-        for k in ("dice", "ssim", "iou", "precision", "recall", "fpr", "auc"):
-            f.write(f"{summary[k]:.4f} +- {summary[k + '_std']:.4f},")
-        f.write("\n")
+    _write_metrics_csv(root_dir, args["arg_num"], summary)
     return summary
 
 
@@ -353,7 +346,23 @@ def sharded_anomalous_metrics(args, em, sched, mesh, root_dir: str = ".",
         totals["recall"].append(M.recall(msk, pred))
         totals["iou"].append(M.iou(msk, pred))
         totals["fpr"].append(M.fpr(msk, pred))
-    return {k: float(np.mean(v)) for k, v in totals.items()}
+    summary = {}
+    for k, v in totals.items():
+        summary[k] = float(np.mean(v))
+        summary[k + "_std"] = float(np.std(v))
+    _write_metrics_csv(root_dir, args["arg_num"], summary)
+    return summary
+
+
+def _write_metrics_csv(root_dir: str, arg_num, summary) -> None:
+    """metrics/args{n}.csv in the reference's format (detection.py:284-287)."""
+    metrics_dir = os.path.join(root_dir, "metrics")
+    os.makedirs(metrics_dir, exist_ok=True)
+    with open(os.path.join(metrics_dir, f"args{arg_num}.csv"), "w") as f:
+        f.write("dice,ssim,iou,precision,recall,fpr,auc\n")
+        for k in ("dice", "ssim", "iou", "precision", "recall", "fpr", "auc"):
+            f.write(f"{summary[k]:.4f} +- {summary[k + '_std']:.4f},")
+        f.write("\n")
 
 
 def graph_data(args=None, root_dir: str = ".", token: Optional[str] = None,
@@ -466,6 +475,12 @@ def main(argv=None):
                          "[validation|graph|roc <ARG_NUM2>...]")
     token = argv[0]
     mode = argv[1] if len(argv) > 1 else "metrics"
+    if mode == "metrics" and len(jax.devices()) > 1:
+        from .parallel.mesh import make_mesh
+        args, em, sched = _load_eval_model(".", token)
+        out = sharded_anomalous_metrics(args, em, sched, make_mesh())
+        print(out)
+        return
     if mode == "validation":
         anomalous_validation(token=token)
     elif mode == "graph":
