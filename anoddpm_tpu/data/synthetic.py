@@ -51,20 +51,30 @@ class SyntheticMRIDataset:
     """Healthy phantoms; sample contract of MRIDataset (dataset.py:575-643):
     {"image": HxWx1 float32 in [-1,1], "filenames": str}."""
 
-    def __init__(self, img_size=(64, 64), length: int = 100, seed: int = 0):
+    def __init__(self, img_size=(64, 64), length: int = 100, seed: int = 0,
+                 cache: bool = True):
         self.img_size = tuple(img_size)
         self.length = length
         self.seed = seed
+        # samples are deterministic per index, so cache them: phantom
+        # synthesis is host-CPU work that would otherwise bottleneck the
+        # device input pipeline every epoch
+        self._cache = {} if cache else None
 
     def __len__(self):
         return self.length
 
     def __getitem__(self, idx):
+        if self._cache is not None and idx in self._cache:
+            return self._cache[idx]
         rng = np.random.default_rng(self.seed * 100003 + idx)
         img = _phantom(rng, self.img_size)
         img = (img - 0.5) / 0.5
-        return {"image": img[..., None].astype(np.float32),
-                "filenames": f"synthetic-{idx:05d}"}
+        sample = {"image": img[..., None].astype(np.float32),
+                  "filenames": f"synthetic-{idx:05d}"}
+        if self._cache is not None:
+            self._cache[idx] = sample
+        return sample
 
 
 class SyntheticAnomalyDataset:
