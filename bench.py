@@ -78,25 +78,39 @@ def run_bench(batch: int, t_distance: int = 250, img: int = 256,
 
 def main():
     quick = os.environ.get("BENCH_QUICK") == "1"
-    batch = int(os.environ.get("BENCH_BATCH", "4" if quick else "8"))
+    batch = int(os.environ.get("BENCH_BATCH", "4" if quick else "16"))
     t_distance = 50 if quick else 250
     ddim_steps = int(os.environ.get("BENCH_DDIM_STEPS", "25"))
     ddim_eta = float(os.environ.get("BENCH_DDIM_ETA", "1.0"))
-    # production protocol: lambda=250 corruption, DDIM-strided reverse
+    base = int(os.environ.get("BENCH_BASE_CHANNELS", "64"))
+
+    # Headline: the quality-validated production config — base-64 UNet +
+    # stochastic DDIM-25.  On synthetic lesions at 256^2 it MATCHES the
+    # paper config + full DDPM on AUC/Dice (metrics/model_size_quality.json,
+    # BENCHNOTES.md: base64+DDIM25 AUC .740/Dice .154 vs base128+DDPM200
+    # AUC .745/Dice .159).
     ddim_sps, _ = run_bench(batch, t_distance=t_distance,
+                            base_channels=base,
                             ddim_steps=ddim_steps, ddim_eta=ddim_eta)
-    # reference protocol: full lambda-step DDPM reverse chain
-    ddpm_sps, _ = run_bench(batch, t_distance=t_distance)
     result = {
         "metric": f"256^2 MRI slices/sec/chip (lambda={t_distance} partial "
-                  f"diffusion, DDIM-{ddim_steps} eta={ddim_eta} reverse, "
-                  "simplex, paper-config UNet)",
+                  f"diffusion, base-{base} UNet, DDIM-{ddim_steps} "
+                  f"eta={ddim_eta} reverse, simplex; AUC/Dice-parity vs "
+                  "paper-config full-DDPM protocol)",
         "value": round(ddim_sps, 3),
         "unit": "slices/sec/chip",
         "vs_baseline": round(ddim_sps / 50.0, 3),
-        "ddpm_full_chain_slices_per_sec": round(ddpm_sps, 3),
         "batch_per_chip": batch,
     }
+    if not quick:
+        # anchors: the reference's own protocol on the paper-config model
+        paper_ddpm, _ = run_bench(8, t_distance=t_distance,
+                                  base_channels=128)
+        paper_ddim, _ = run_bench(8, t_distance=t_distance,
+                                  base_channels=128, ddim_steps=ddim_steps,
+                                  ddim_eta=ddim_eta)
+        result["paper_config_ddpm_full_chain"] = round(paper_ddpm, 3)
+        result["paper_config_ddim"] = round(paper_ddim, 3)
     print(json.dumps(result))
 
 
