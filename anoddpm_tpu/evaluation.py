@@ -117,3 +117,26 @@ def testing(test_iter, em, sched: Schedule, args,
     with open(os.path.join(metrics_dir, f"args{arg_num}-test.json"), "w") as f:
         json.dump(results, f, indent=1)
     return results
+
+
+def main(argv=None):
+    """CLI: ``python -m anoddpm_tpu.evaluation <ARG_NUM>`` — test-set
+    evaluation of a trained checkpoint (reference: evaluation.py:189-218)."""
+    import sys
+    from .data.datasets import dataset_from_args
+    from .data.pipeline import batch_iterator
+    from .detect import _load_eval_model
+    from .ops.noise import sampler_from_args
+
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv:
+        raise SystemExit("usage: python -m anoddpm_tpu.evaluation <ARG_NUM>")
+    args, em, sched = _load_eval_model(".", argv[0])
+    test_ds = dataset_from_args(".", args, train=False)
+    it = batch_iterator(test_ds, int(args["Batch_Size"]), shuffle=True, seed=1)
+    testing(it, em, sched, args, noise_sampler=sampler_from_args(args),
+            save_videos=bool(args.get("save_vids")))
+
+
+if __name__ == "__main__":
+    main()

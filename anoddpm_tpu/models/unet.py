@@ -165,17 +165,30 @@ class UNet(nn.Module):
     n_heads: int = 1
     n_head_channels: int = -1
     biggan_updown: bool = True
+    # TPU-efficiency option (framework addition): run the net on a 2x2 (or
+    # s x s) patchified grid — space-to-depth at entry, depth-to-space at
+    # exit.  Lossless re-arrangement: eps prediction in patch space is
+    # equivalent, but every level has s^2 x fewer spatial positions, and the
+    # stem carries s^2 x more channels (better 128-lane utilisation for
+    # small base widths).
+    space_to_depth: int = 1
     dtype: jnp.dtype = jnp.float32
+
+    def _effective_size(self) -> int:
+        return self.img_size // self.space_to_depth
 
     def _mults(self) -> Sequence[float]:
         if self.channel_mults:
             return self.channel_mults
-        if self.img_size not in DEFAULT_CHANNEL_MULTS:
-            raise ValueError(f"unsupported image size: {self.img_size}")
-        return DEFAULT_CHANNEL_MULTS[self.img_size]
+        size = self._effective_size()
+        if size not in DEFAULT_CHANNEL_MULTS:
+            raise ValueError(f"unsupported image size: {size}")
+        return DEFAULT_CHANNEL_MULTS[size]
 
     def _attention_ds(self):
-        return [self.img_size // int(r)
+        # attention_resolutions are true-image resolutions; map onto the
+        # patchified grid
+        return [self._effective_size() // max(int(r) // self.space_to_depth, 1)
                 for r in str(self.attention_resolutions).split(",")]
 
     @nn.compact
@@ -194,6 +207,12 @@ class UNet(nn.Module):
 
         in_dtype = x.dtype
         h = x.astype(cdt)
+        s2d = self.space_to_depth
+        if s2d > 1:
+            b, hh, ww, cc = h.shape
+            h = h.reshape(b, hh // s2d, s2d, ww // s2d, s2d, cc)
+            h = h.transpose(0, 1, 3, 2, 4, 5).reshape(
+                b, hh // s2d, ww // s2d, s2d * s2d * cc)
         h = nn.Conv(base, (3, 3), padding="SAME", dtype=cdt,
                     param_dtype=jnp.float32, name="stem")(h)
         skips = [h]
@@ -253,10 +272,16 @@ class UNet(nn.Module):
 
         h = h.astype(in_dtype)
         h = nn.silu(GroupNorm32(name="out_norm")(h))
-        h = nn.Conv(self.in_channels, (3, 3), padding="SAME",
+        out_feats = self.in_channels * s2d * s2d
+        h = nn.Conv(out_feats, (3, 3), padding="SAME",
                     dtype=jnp.float32, param_dtype=jnp.float32,
                     kernel_init=nn.initializers.zeros,
                     bias_init=nn.initializers.zeros, name="out_conv")(h)
+        if s2d > 1:
+            b, hh, ww, _ = h.shape
+            h = h.reshape(b, hh, ww, s2d, s2d, self.in_channels)
+            h = h.transpose(0, 1, 3, 2, 4, 5).reshape(
+                b, hh * s2d, ww * s2d, self.in_channels)
         return h.astype(jnp.float32)
 
 
@@ -279,5 +304,6 @@ def unet_from_args(args, in_channels: int, dtype=None) -> UNet:
         attention_resolutions=str(args.get("attention_resolutions") or "32,16,8"),
         n_heads=int(args.get("num_heads", 1) or 1),
         n_head_channels=int(args.get("num_head_channels", -1) or -1),
+        space_to_depth=int(args.get("space_to_depth", 1) or 1),
         dtype=dtype,
     )

@@ -89,3 +89,23 @@ def test_ema_update_math():
     ema2 = ema_update(ema, new_params, decay=0.9)
     np.testing.assert_allclose(np.asarray(ema2["w"]), 2.0 * 0.9 + 4.0 * 0.1,
                                rtol=1e-6)
+
+
+def test_space_to_depth_shapes_and_invertibility():
+    # s2d stem: output shape equals input shape; zero-init => zero output
+    model = UNet(img_size=64, base_channels=32, in_channels=1,
+                 space_to_depth=2, channel_mults=(1, 2),
+                 attention_resolutions="16")
+    x = jax.random.normal(jax.random.key(0), (2, 64, 64, 1))
+    t = jnp.array([1, 5], jnp.int32)
+    params = jax.jit(model.init)(jax.random.key(1), x, t)
+    out = jax.jit(model.apply)(params, x, t)
+    assert out.shape == x.shape
+    np.testing.assert_array_equal(np.asarray(out), 0.0)
+    # perturbed params give position-dependent (non-aliased) output
+    params = jax.tree_util.tree_map(
+        lambda p: p + 0.01 * jax.random.normal(jax.random.key(2), p.shape),
+        params)
+    out = jax.jit(model.apply)(params, x, t)
+    assert np.isfinite(np.asarray(out)).all()
+    assert np.abs(np.asarray(out)).max() > 0
