@@ -32,9 +32,9 @@ from .data.pipeline import batch_iterator, prefetch_to_device
 from .models.unet import unet_from_args
 from .ops.noise import sampler_from_args
 from .parallel.mesh import make_mesh
-from .training import (EvalModel, init_train_state, jit_train_step,
-                       jit_with_params, make_eval_model_fn, make_optimizer,
-                       make_train_step, TrainState)
+from .training import (EvalModel, init_train_state, jit_multi_step,
+                       jit_train_step, jit_with_params, make_eval_model_fn,
+                       make_optimizer, make_train_step, TrainState)
 
 
 def train(args, root_dir: str = ".", resume: Optional[str] = None,
@@ -77,14 +77,18 @@ def train(args, root_dir: str = ".", resume: Optional[str] = None,
     else:
         max_t = sched.num_timesteps
 
-    train_step = jit_train_step(
-        make_train_step(model, sched, tx, noise_sampler,
-                        loss_type=str(args.get("loss-type") or "l2"),
-                        max_t=max_t,
-                        ema_decay=float(args.get("ema_decay", 0.9999) or 0.9999),
-                        loss_weight=str(args.get("loss_weight") or "none"),
-                        dropout=float(args.get("dropout", 0) or 0) > 0),
-        mesh=mesh)
+    base_step = make_train_step(
+        model, sched, tx, noise_sampler,
+        loss_type=str(args.get("loss-type") or "l2"),
+        max_t=max_t,
+        ema_decay=float(args.get("ema_decay", 0.9999) or 0.9999),
+        loss_weight=str(args.get("loss_weight") or "none"),
+        dropout=float(args.get("dropout", 0) or 0) > 0)
+    substeps = int(args.get("train_substeps") or 1)
+    if substeps > 1:
+        train_step = jit_multi_step(base_step, substeps, mesh=mesh)
+    else:
+        train_step = jit_train_step(base_step, mesh=mesh)
 
     dataset = dataset_from_args(root_dir, args, train=True)
     test_dataset = dataset_from_args(root_dir, args, train=False)
@@ -107,14 +111,20 @@ def train(args, root_dir: str = ".", resume: Optional[str] = None,
 
     for epoch in range(start_epoch, epochs + 1):
         epoch_losses = []
-        for i in range(iters_per_epoch):
-            batch = next(loader)
-            x = batch["image"]
+        for i in range(max(iters_per_epoch // substeps, 1)):
+            if substeps > 1:
+                x = jnp.stack([jnp.asarray(next(loader)["image"])
+                               for _ in range(substeps)])
+                batch = {"image": x[-1]}
+            else:
+                batch = next(loader)
+                x = batch["image"]
             state, metrics = train_step(state, x, key)
             timer.tick()
             epoch_losses.append(metrics["loss"])
 
-            if epoch % 50 == 0 and i == 0 and args.get("save_imgs"):
+            if (epoch % 50 == 0 and i == 0 and args.get("save_imgs")
+                    and "x_t" in metrics):
                 out_path = (f"{root_dir}/diffusion-training-images/"
                             f"ARGS={args['arg_num']}/EPOCH={epoch}.png")
                 vz.training_snapshot(out_path, np.asarray(x),
@@ -125,7 +135,7 @@ def train(args, root_dir: str = ".", resume: Optional[str] = None,
         if epoch % 10 == 0:
             mlog.log(int(state.step), epoch=epoch, loss=losses[-1],
                      grad_norm=metrics["grad_norm"],
-                     imgs_per_sec=(batch_size / timer.mean
+                     imgs_per_sec=(batch_size * substeps / timer.mean
                                    if timer.mean == timer.mean else 0.0))
 
         if epoch % 200 == 0:

@@ -108,6 +108,29 @@ def make_train_step(model, sched: Schedule, tx: optax.GradientTransformation,
     return train_step
 
 
+def make_multi_step(train_step: Callable, substeps: int) -> Callable:
+    """Fuse `substeps` optimizer steps into one dispatch via lax.scan.
+
+    The batch must carry a leading substep axis: (substeps, B, H, W, C).
+    Amortises host->device dispatch overhead (significant for small models
+    and high-latency runtimes); metrics are averaged over the substeps
+    except x_t/estimate which report the last substep.
+    """
+    def multi_step(state: TrainState, batches: jax.Array, key: jax.Array):
+        def body(carry, batch):
+            st, k = carry
+            k, sub = jax.random.split(k)
+            st, m = train_step(st, batch, sub)
+            return (st, k), (m["loss"], m["grad_norm"])
+
+        (state_out, _), (losses, gnorms) = jax.lax.scan(
+            body, (state, key), batches)
+        metrics = {"loss": jnp.mean(losses), "grad_norm": jnp.mean(gnorms)}
+        return state_out, metrics
+
+    return multi_step
+
+
 def jit_train_step(train_step: Callable, mesh=None, ndim: int = 4) -> Callable:
     """jit the step; with a mesh, shard the batch over 'data' and replicate
     state/key so XLA all-reduces gradients over ICI."""
@@ -121,6 +144,21 @@ def jit_train_step(train_step: Callable, mesh=None, ndim: int = 4) -> Callable:
         out_shardings=(rep, rep),
         donate_argnums=(0,),
     )
+
+
+def jit_multi_step(train_step: Callable, substeps: int, mesh=None,
+                   ndim: int = 4) -> Callable:
+    """jit the fused multi-substep trainer; with a mesh, shard the PER-STEP
+    batch axis (axis 1 of the stacked (substeps, B, ...) input)."""
+    ms = make_multi_step(train_step, substeps)
+    if mesh is None:
+        return jax.jit(ms, donate_argnums=(0,))
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from .parallel.mesh import replicated
+    rep = replicated(mesh)
+    bs = NamedSharding(mesh, P(None, "data", *([None] * (ndim - 1))))
+    return jax.jit(ms, in_shardings=(rep, bs, rep),
+                   out_shardings=(rep, rep), donate_argnums=(0,))
 
 
 def make_eval_model_fn(model, params) -> dm.ModelFn:
