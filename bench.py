@@ -33,7 +33,8 @@ import jax.numpy as jnp
 def run_bench(batch: int, t_distance: int = 250, img: int = 256,
               base_channels: int = 128, noise_kind: str = "simplex",
               repeats: int = 3, warmup: bool = True,
-              ddim_steps: int = 0, ddim_eta: float = 1.0):
+              ddim_steps: int = 0, ddim_eta: float = 1.0,
+              space_to_depth: int = 1):
     from anoddpm_tpu import diffusion as dm
     from anoddpm_tpu.models.unet import UNet
     from anoddpm_tpu.ops.noise import make_noise_sampler
@@ -41,7 +42,8 @@ def run_bench(batch: int, t_distance: int = 250, img: int = 256,
 
     sched = make_schedule(get_beta_schedule(1000, "linear"))
     model = UNet(img_size=img, base_channels=base_channels, in_channels=1,
-                 attention_resolutions="16,8", n_heads=2, dtype=jnp.bfloat16)
+                 attention_resolutions="16,8", n_heads=2,
+                 space_to_depth=space_to_depth, dtype=jnp.bfloat16)
     x = jnp.zeros((batch, img, img, 1))
     t = jnp.zeros((batch,), jnp.int32)
     params = jax.jit(model.init)(jax.random.key(0), x, t)
@@ -78,23 +80,24 @@ def run_bench(batch: int, t_distance: int = 250, img: int = 256,
 
 def main():
     quick = os.environ.get("BENCH_QUICK") == "1"
-    batch = int(os.environ.get("BENCH_BATCH", "4" if quick else "16"))
+    batch = int(os.environ.get("BENCH_BATCH", "4" if quick else "32"))
     t_distance = 50 if quick else 250
     ddim_steps = int(os.environ.get("BENCH_DDIM_STEPS", "25"))
     ddim_eta = float(os.environ.get("BENCH_DDIM_ETA", "1.0"))
     base = int(os.environ.get("BENCH_BASE_CHANNELS", "64"))
+    s2d = int(os.environ.get("BENCH_S2D", "2"))
 
-    # Headline: the quality-validated production config — base-64 UNet +
-    # stochastic DDIM-25.  On synthetic lesions at 256^2 it MATCHES the
-    # paper config + full DDPM on AUC/Dice (metrics/model_size_quality.json,
-    # BENCHNOTES.md: base64+DDIM25 AUC .740/Dice .154 vs base128+DDPM200
-    # AUC .745/Dice .159).
+    # Headline: the quality-validated production config — base-64 UNet with
+    # a 2x2 space-to-depth stem + stochastic DDIM-25.  On synthetic lesions
+    # at 256^2 it matches the paper config + full DDPM on AUC/Dice
+    # (metrics/s2d_quality.json + model_size_quality.json, BENCHNOTES.md:
+    # s2d AUC .736/Dice .150 vs paper protocol AUC .745/Dice .159).
     ddim_sps, _ = run_bench(batch, t_distance=t_distance,
-                            base_channels=base,
+                            base_channels=base, space_to_depth=s2d,
                             ddim_steps=ddim_steps, ddim_eta=ddim_eta)
     result = {
         "metric": f"256^2 MRI slices/sec/chip (lambda={t_distance} partial "
-                  f"diffusion, base-{base} UNet, DDIM-{ddim_steps} "
+                  f"diffusion, base-{base} s2d-{s2d} UNet, DDIM-{ddim_steps} "
                   f"eta={ddim_eta} reverse, simplex; AUC/Dice-parity vs "
                   "paper-config full-DDPM protocol)",
         "value": round(ddim_sps, 3),
