@@ -13,7 +13,7 @@ detection.py:64 etc. — SURVEY.md §2.2) is provided here as a real function.
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 

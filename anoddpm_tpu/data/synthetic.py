@@ -9,7 +9,7 @@ sample dict contract as the real datasets ({"image", "mask", "filenames"}).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -8,8 +8,7 @@ All functions take/return float32 HxW (or HxWxC) arrays; the final
 
 from __future__ import annotations
 
-import math
-from typing import Optional, Tuple
+from typing import Tuple
 
 import cv2
 import numpy as np

@@ -23,9 +23,9 @@ import numpy as np
 from . import diffusion as dmod
 from . import evaluation as ev
 from . import visualize as vz
-from .observe import MetricsLogger, StepTimer, maybe_profile
-from .checkpoint import (latest_checkpoint_path, load_checkpoint,
-                         purge_checkpoints, save_checkpoint)
+from .observe import MetricsLogger, StepTimer
+from .checkpoint import (load_checkpoint, purge_checkpoints,
+                         save_checkpoint)
 from .config import load_args, resolve_in_channels
 from .data.datasets import dataset_from_args
 from .data.pipeline import batch_iterator, prefetch_to_device

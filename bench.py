@@ -17,7 +17,6 @@ vs_baseline is against the 50 slices/sec/chip driver target
 
 import json
 import os
-import sys
 import time
 
 # persistent compile cache: the 250-step scan over the paper UNet is a large
