@@ -221,9 +221,10 @@ def _ext_offsets_region3(xins, yins, zins):
     repl_a = (a_sc <= b_sc) & (a_sc < score)
     repl_b = (~repl_a) & (a_sc > b_sc) & (b_sc < score)
     a_pt = jnp.where(repl_a, jnp.where(far, 6, 1), a_pt)
-    a_fs = jnp.where(repl_a, far, a_fs)
+    # boolean select as logical ops (Mosaic cannot select between i1 vectors)
+    a_fs = (repl_a & far) | (~repl_a & a_fs)
     b_pt = jnp.where(repl_b, jnp.where(far, 6, 1), b_pt)
-    b_fs = jnp.where(repl_b, far, b_fs)
+    b_fs = (repl_b & far) | (~repl_b & b_fs)
 
     same_side = a_fs == b_fs
 

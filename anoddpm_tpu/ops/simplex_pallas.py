@@ -28,23 +28,29 @@ from . import simplex as sx
 
 def _field_kernel(seed_ref, t_ref, out_ref, *, octaves: int,
                   persistence: float, frequency: float, tile_h: int):
+    i = pl.program_id(0)
     j = pl.program_id(1)
-    seed = seed_ref[0, 0].astype(jnp.uint32)
-    t = t_ref[0, 0]
+    # seeds/ts are scalar-prefetch SMEM arrays indexed by the field id
+    seed = seed_ref[i].astype(jnp.uint32)
+    t = t_ref[i]
     h, w = out_ref.shape[1], out_ref.shape[2]
-    yy = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
-          + (j * tile_h).astype(jnp.float32))
-    xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    # Mosaic only lowers integer iota; cast to f32 afterwards
+    yy = (jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+          + j * tile_h).astype(jnp.float32)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).astype(jnp.float32)
 
-    def body(o, acc):
-        of = o.astype(jnp.float32)
-        scale = (2.0 ** of) / frequency
-        amp = persistence ** of
-        return acc + amp * sx.opensimplex3_hash(seed, xx * scale, yy * scale,
-                                                t * scale)
+    def body(o, carry):
+        acc, scale, amp = carry
+        acc = acc + amp * sx.opensimplex3_hash(seed, xx * scale, yy * scale,
+                                               t * scale)
+        # multiplicative recurrence instead of powf (unsupported in Mosaic)
+        return acc, scale * 2.0, amp * persistence
 
-    out_ref[0] = jax.lax.fori_loop(0, octaves, body,
-                                   jnp.zeros((h, w), jnp.float32))
+    acc, _, _ = jax.lax.fori_loop(
+        0, octaves, body,
+        (jnp.zeros((h, w), jnp.float32), jnp.float32(1.0 / frequency),
+         jnp.float32(1.0)))
+    out_ref[0] = acc
 
 
 @functools.partial(jax.jit, static_argnames=("shape_hw", "octaves",
@@ -65,20 +71,19 @@ def fields_pallas(seeds: jax.Array, ts: jax.Array,
     kernel = functools.partial(_field_kernel, octaves=int(octaves),
                                persistence=float(persistence),
                                frequency=float(frequency), tile_h=tile_h)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # seeds and ts land in SMEM before the body
+        grid=(n, h // tile_h),
+        in_specs=[],
+        out_specs=pl.BlockSpec((1, tile_h, w),
+                               lambda i, j, seeds, ts: (i, j, 0)),
+    )
     return pl.pallas_call(
         kernel,
-        grid=(n, h // tile_h),
-        in_specs=[
-            pl.BlockSpec((1, 1), lambda i, j: (i, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda i, j: (i, 0),
-                         memory_space=pltpu.SMEM),
-        ],
-        out_specs=pl.BlockSpec((1, tile_h, w), lambda i, j: (i, j, 0),
-                               memory_space=pltpu.VMEM),
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, h, w), jnp.float32),
         interpret=interpret,
-    )(seeds.reshape(n, 1).astype(jnp.int32), ts.reshape(n, 1).astype(jnp.float32))
+    )(seeds.astype(jnp.int32), ts.astype(jnp.float32))
 
 
 def batched_fractal3_fixed_t_pallas(key: jax.Array,
