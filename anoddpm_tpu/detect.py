@@ -475,6 +475,20 @@ def main(argv=None):
                          "[validation|graph|roc <ARG_NUM2>...]")
     token = argv[0]
     mode = argv[1] if len(argv) > 1 else "metrics"
+    if mode in ("methodA", "methodB"):
+        args, em, sched = _load_eval_model(".", token)
+        d_set = anomalous_dataset_from_args(".", args)
+        sample = d_set[0]
+        x = jnp.asarray(sample["image"][:1])
+        mask = sample["mask"][:1]
+        fid = os.path.basename(str(sample["filenames"]))
+        if mode == "methodA":
+            detection_A(args, em, sched, x, mask, fid)
+        else:
+            kind = "gauss" if str(args.get("noise_fn")) == "gauss" else "octave"
+            dice = detection_B(args, em, sched, x, mask, fid, denoise_fn=kind)
+            print("detection_B dice per lambda:", [round(d, 4) for d in dice])
+        return
     if mode == "metrics" and len(jax.devices()) > 1:
         from .parallel.mesh import make_mesh
         args, em, sched = _load_eval_model(".", token)

@@ -147,3 +147,23 @@ def test_config_loader():
     assert args["img_size"] == (64, 64)
     assert args["missing_key"] == ""  # defaultdict-str semantics
     assert args["compute_dtype"] == "float32"
+
+
+def test_multi_step_equivalence_single(setup):
+    """multi_step with K=1 must advance state identically to one plain
+    train_step call given the same derived key."""
+    from anoddpm_tpu.training import make_multi_step
+    model, sched, tx, state = setup
+    step = make_train_step(model, sched, tx, make_noise_sampler("gauss"),
+                           max_t=T)
+    multi = make_multi_step(step, 1)
+    ds = SyntheticMRIDataset(img_size=(IMG, IMG), length=4)
+    batch = jnp.asarray(np.stack([ds[i]["image"] for i in range(2)]))
+    key = jax.random.key(9)
+    s_a, m_a = jax.jit(step)(jax.tree_util.tree_map(jnp.copy, state), batch,
+                             jax.random.split(key)[1])
+    s_b, m_b = jax.jit(multi)(jax.tree_util.tree_map(jnp.copy, state),
+                              batch[None], key)
+    assert int(s_a.step) == int(s_b.step) == 1
+    np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]),
+                               rtol=1e-5)
