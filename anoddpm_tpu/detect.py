@@ -36,9 +36,14 @@ from .schedule import schedule_from_args
 from .training import EvalModel, jit_with_params
 
 
-def _load_eval_model(root_dir: str, token: str):
-    """Checkpointed EMA model + config for detection (detection.py:162-181)."""
-    args, payload, meta = load_parameters(root_dir, token)
+def _load_eval_model(root_dir: str, token: str, use_checkpoint: bool = False):
+    """Checkpointed EMA model + config for detection (detection.py:162-181).
+
+    use_checkpoint: load the newest periodic checkpoint instead of
+    params-final (the reference's "CHECKPOINT" CLI prefix, helpers.py:62-66).
+    """
+    args, payload, meta = load_parameters(root_dir, token,
+                                          use_checkpoint=use_checkpoint)
     in_channels = resolve_in_channels(args)
     model = unet_from_args(args, in_channels)
     em = EvalModel(model, payload["ema"])
@@ -470,13 +475,17 @@ def roc_data(tokens, labels=None, root_dir: str = ".",
 
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
+    use_checkpoint = False
+    if argv and argv[0] == "CHECKPOINT":  # helpers.py:62-66 prefix semantics
+        use_checkpoint = True
+        argv = argv[1:]
     if not argv:
-        raise SystemExit("usage: python -m anoddpm_tpu.detect <ARG_NUM> "
-                         "[validation|graph|roc <ARG_NUM2>...]")
+        raise SystemExit("usage: python -m anoddpm_tpu.detect [CHECKPOINT] "
+                         "<ARG_NUM> [validation|graph|roc <ARG_NUM2>...]")
     token = argv[0]
     mode = argv[1] if len(argv) > 1 else "metrics"
     if mode in ("methodA", "methodB"):
-        args, em, sched = _load_eval_model(".", token)
+        args, em, sched = _load_eval_model(".", token, use_checkpoint)
         d_set = anomalous_dataset_from_args(".", args)
         sample = d_set[0]
         x = jnp.asarray(sample["image"][:1])
@@ -491,7 +500,7 @@ def main(argv=None):
         return
     if mode == "metrics" and len(jax.devices()) > 1:
         from .parallel.mesh import make_mesh
-        args, em, sched = _load_eval_model(".", token)
+        args, em, sched = _load_eval_model(".", token, use_checkpoint)
         out = sharded_anomalous_metrics(args, em, sched, make_mesh())
         print(out)
         return
