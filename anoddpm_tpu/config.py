@@ -21,8 +21,9 @@ from typing import Any, Dict
 
 
 # Keys the reference's shipped configs use (test_args/args28.json:1-29) plus
-# framework extensions. Used for validation warnings only — unknown keys pass
-# through untouched.
+# framework extensions. `validate_args` warns on anything else: because
+# missing keys silently resolve to "" (defaultdict-str semantics), a typo'd
+# key would otherwise change behaviour without any signal.
 KNOWN_KEYS = {
     "img_size", "Batch_Size", "EPOCHS", "T", "base_channels", "beta_schedule",
     "channel_mults", "loss-type", "loss_weight", "train_start", "lr",
@@ -33,6 +34,8 @@ KNOWN_KEYS = {
     "compute_dtype", "seed", "mesh", "num_res_blocks", "iters_per_epoch",
     "simplex_octaves", "simplex_persistence", "simplex_frequency",
     "checkpoint_every", "ema_decay", "grad_clip_norm",
+    "train_substeps", "sampler", "ddim_steps", "ddim_eta", "space_to_depth",
+    "_note",  # free-form provenance comment in shipped configs
 }
 
 DEFAULTS: Dict[str, Any] = {
@@ -63,12 +66,27 @@ def normalise_arg_token(token: str) -> str:
     return token
 
 
+def validate_args(raw: Dict[str, Any], source: str = "") -> list:
+    """Warn about keys no component reads.  Unknown keys still pass through
+    untouched — this only surfaces likely typos, which the defaultdict-str
+    contract would otherwise swallow (a misspelled key means the intended one
+    silently resolves to "")."""
+    import warnings
+    unknown = sorted(k for k in raw if k not in KNOWN_KEYS)
+    for k in unknown:
+        warnings.warn(f"unknown config key {k!r}{' in ' + source if source else ''}"
+                      f" — no component reads it (missing keys default to \"\")",
+                      stacklevel=2)
+    return unknown
+
+
 def load_args(token: str, config_dir: str = "configs") -> "defaultdict[str, Any]":
     """Load args{N}.json by experiment token, injecting arg_num and defaults."""
     arg_num = normalise_arg_token(str(token))
     path = os.path.join(config_dir, f"args{arg_num}.json")
     with open(path, "r") as f:
         raw = json.load(f)
+    validate_args(raw, source=path)
     args = defaultdict_from_json(raw)
     args["arg_num"] = arg_num
     for k, v in DEFAULTS.items():

@@ -58,7 +58,17 @@ def evaluate_anomaly_batch(em, sched, images, masks, key,
 
     AUC is computed on the raw square-error map; the other metrics on the
     map thresholded at 0.5 (detection.py:229-250).
+
+    Accepts (H, W, C) single samples too (MVTec / DAGM anomalous datasets
+    return per-image samples, not volumes) — normalised to a batch of one,
+    as the reference's per-image loop does (detection.py:208-221).
     """
+    images = np.asarray(images)
+    masks = np.asarray(masks)
+    if images.ndim == 3:
+        images = images[None]
+    if masks.ndim == 3:
+        masks = masks[None]
     if fb_jit is None:
         fb_jit = jit_with_params(em, lambda mf: lambda x, k:
             dmod.forward_backward(mf, sched, x, t_distance, k,
@@ -89,13 +99,14 @@ def anomalous_metric_calculation(args=None, root_dir: str = ".",
                                  token: Optional[str] = None,
                                  em=None, sched=None,
                                  t_distance: int = 200,
-                                 max_volumes: Optional[int] = None
+                                 max_volumes: Optional[int] = None,
+                                 use_checkpoint: bool = False
                                  ) -> Dict[str, float]:
     """The headline-metric producer (detection.py:156-287): lambda=200
     partial diffusion per anomalous slice, AUC on raw sq-err, threshold 0.5
     for the rest; writes metrics/args{n}.csv."""
     if em is None:
-        args, em, sched = _load_eval_model(root_dir, token)
+        args, em, sched = _load_eval_model(root_dir, token, use_checkpoint)
     # the reference hardcodes lambda=200 (detection.py:226) against T=1000;
     # clamp for short-schedule configs where 200 would index past T
     t_distance = min(t_distance, sched.num_timesteps)
@@ -109,8 +120,7 @@ def anomalous_metric_calculation(args=None, root_dir: str = ".",
     # extension for production throughput; arXiv:2010.02502)
     if str(args.get("sampler") or "ddpm") == "ddim":
         ddim_steps = int(args.get("ddim_steps") or 25)
-        ddim_eta = float(args.get("ddim_eta") if args.get("ddim_eta") != ""
-                         else 0.0)
+        ddim_eta = float(args.get("ddim_eta") or 0.0)
         fb_jit = jit_with_params(em, lambda mf: lambda x, k:
             dmod.forward_backward_ddim(mf, sched, x, t_distance, ddim_steps,
                                        k, noise_sampler=noise_sampler,
@@ -154,7 +164,14 @@ def detection_A(args, em, sched, x_0, mask, file_id, root_dir: str = ".",
                 total_avg: int = 2, key=None):
     """Method A: sweep fixed simplex frequency 2^7..2^1 x lambda in
     {50, 100, ..., 0.6T}; average reconstructions; save comparison grids
-    (GaussianDiffusion.py:480-529)."""
+    (GaussianDiffusion.py:480-529).
+
+    INTENTIONAL NORMALISATION: the corruption jump goes to t_distance-1 via
+    forward_backward, whereas the reference's detection_A q-jumps to
+    t=t_distance (GaussianDiffusion.py:500-505) while its own
+    forward_backward uses t_distance-1 — an internal one-step inconsistency.
+    We use the forward_backward convention for every sweep (PARITY.md).
+    """
     if key is None:
         key = jax.random.key(2)
     out_dir = os.path.join(root_dir, "diffusion-videos",
@@ -255,39 +272,84 @@ def detection_A_fixedT(args, em, sched, x_0, mask, root_dir: str = ".",
 
 def anomalous_validation(args=None, root_dir: str = ".",
                          token: Optional[str] = None,
-                         max_volumes: Optional[int] = 1):
-    """Per-volume videos + detection method sweeps by noise kind
-    (detection.py:17-153 `anomalous_validation_1`)."""
+                         max_volumes: Optional[int] = None,
+                         max_slices: int = 4,
+                         detection_avg: int = 3,
+                         use_checkpoint: bool = False):
+    """Per-slice videos + heatmaps + detection method sweeps by noise kind —
+    the reference's full `anomalous_validation_1` recipe (detection.py:17-153):
+
+    - ALL anomalous volumes by default, `max_slices` slices per volume;
+    - per slice: a random timestep in [0.3, 0.8]*sample_distance for gauss
+      configs, [0.1, 0.6]*sample_distance otherwise (detection.py:75-79),
+      "whole"-sequence forward_backward -> mp4 + heatmap dice figure;
+    - then by noise kind: gauss -> detection_B("gauss"); simplex ->
+      detection_B("octave"); simplex_randParam -> detection_A AND
+      detection_B("octave"), each with `total_avg=detection_avg`
+      (detection.py:115-140; the reference's randParam branch indexes with
+      the `slice` builtin — a latent bug — we use the loop slice).
+
+    Slices of one volume are evaluated as ONE device batch; videos/figures
+    are still written per slice to keep the reference's artifact tree.
+    Returns the per-slice heatmap dice list (detection.py:105-140 dice_data).
+    """
     if args is None:
-        args, em, sched = _load_eval_model(root_dir, token)
+        args, em, sched = _load_eval_model(root_dir, token, use_checkpoint)
     else:
         args, em, sched = args
     noise_sampler = sampler_from_args(args)
+    noise_kind = str(args.get("noise_fn") or "simplex")
     d_set = anomalous_dataset_from_args(root_dir, args)
     key = jax.random.key(5)
     n = len(d_set) if max_volumes is None else min(len(d_set), max_volumes)
+    sample_distance = int(args.get("sample_distance") or sched.num_timesteps)
+    lo, hi = ((0.3, 0.8) if noise_kind == "gauss" else (0.1, 0.6))
+    dice_data = []
+    start = time.time()
     for i in range(n):
         sample = d_set[i]
-        x = jnp.asarray(sample["image"][:1])
-        mask = sample["mask"][:1]
+        images = np.asarray(sample["image"])
+        masks = np.asarray(sample["mask"])
+        if images.ndim == 3:
+            images, masks = images[None], masks[None]
         file_id = os.path.basename(str(sample["filenames"]))
-        key, k1, k2 = jax.random.split(key, 3)
-        _, frames = jit_with_params(em, lambda mf: lambda xx, k:
-            dmod.forward_backward(mf, sched, xx,
-                                  int(args["sample_distance"]), k,
-                                  noise_sampler=noise_sampler,
-                                  see_whole_sequence="whole"))(x, k1)
-        vz.save_video(
-            os.path.join(root_dir, "diffusion-videos",
-                         f"ARGS={args['arg_num']}", "Anomalous",
-                         file_id, "full.mp4"),
-            list(np.asarray(frames)))
-        if str(args.get("noise_fn")) == "gauss":
-            detection_B(args, em, sched, x, mask, file_id,
-                        denoise_fn="gauss", root_dir=root_dir, key=k2)
-        else:
-            detection_B(args, em, sched, x, mask, file_id,
-                        denoise_fn="octave", root_dir=root_dir, key=k2)
+        slice_ids = list(sample.get("slices", range(images.shape[0])))
+        vol_dir = os.path.join(root_dir, "diffusion-videos",
+                               f"ARGS={args['arg_num']}", "Anomalous", file_id)
+        for s in range(min(images.shape[0], max_slices)):
+            x = jnp.asarray(images[s:s + 1])
+            mask = masks[s:s + 1]
+            key, k_t, k1, k2, k3 = jax.random.split(key, 5)
+            timestep = int(jax.random.randint(
+                k_t, (), int(sample_distance * lo),
+                max(int(sample_distance * hi), int(sample_distance * lo) + 1)))
+            # clamp to [1, T]: t=0 is a no-op chain (only reachable with the
+            # tiny schedules used in tests; the reference's 800-step
+            # sample_distance never draws it)
+            timestep = max(1, min(timestep, sched.num_timesteps))
+            recon, frames = jit_with_params(em, lambda mf: lambda xx, k:
+                dmod.forward_backward(mf, sched, xx, timestep, k,
+                                      noise_sampler=noise_sampler,
+                                      see_whole_sequence="whole"))(x, k1)
+            out_name = os.path.join(vol_dir, str(slice_ids[s]),
+                                    f"t={timestep}")
+            vz.save_video(out_name + ".mp4", list(np.asarray(frames)))
+            vz.heatmap_figure(np.asarray(x), np.asarray(recon), mask,
+                              out_name + ".png")
+            dice_data.append(M.dice_coeff(np.asarray(x), np.asarray(recon),
+                                          mask))
+            slice_tag = f"{file_id}-{slice_ids[s]}"
+            if noise_kind == "simplex_randParam":
+                detection_A(args, em, sched, x, mask, slice_tag,
+                            root_dir=root_dir, total_avg=detection_avg,
+                            key=k3)
+            detection_B(args, em, sched, x, mask, slice_tag,
+                        denoise_fn=("gauss" if noise_kind == "gauss"
+                                    else "octave"),
+                        root_dir=root_dir, total_avg=detection_avg, key=k2)
+        print(f"volume {file_id} [{i + 1}/{n}] done, "
+              f"elapsed {time.time() - start:.0f}s", flush=True)
+    return dice_data
 
 
 def sharded_anomalous_metrics(args, em, sched, mesh, root_dir: str = ".",
@@ -371,12 +433,13 @@ def _write_metrics_csv(root_dir: str, arg_num, summary) -> None:
 
 
 def graph_data(args=None, root_dir: str = ".", token: Optional[str] = None,
-               lambdas=None, max_volumes: int = 4):
+               lambdas=None, max_volumes: int = 4,
+               use_checkpoint: bool = False):
     """Per-lambda metric curves -> metrics/args{n}-lambda.csv + plot
     (detection.py:290-428 `graph_data`).  Sweeps lambda, evaluating
     dice/ssim/iou/auc on anomalous volumes at each."""
     if args is None:
-        args, em, sched = _load_eval_model(root_dir, token)
+        args, em, sched = _load_eval_model(root_dir, token, use_checkpoint)
     else:
         args, em, sched = args
     noise_sampler = sampler_from_args(args)
@@ -419,19 +482,23 @@ def graph_data(args=None, root_dir: str = ".", token: Optional[str] = None,
 
 
 def roc_data(tokens, labels=None, root_dir: str = ".",
-             t_distance: int = 200, max_volumes: Optional[int] = None):
+             t_distance: int = 200, max_volumes: Optional[int] = None,
+             use_checkpoint: bool = False, ce_token: Optional[str] = None,
+             ce_train_steps: int = 2000):
     """Multi-method pixel ROC comparison -> CSV + figure
-    (detection.py:431-680 `roc_data`).
+    (detection.py:431-680 `roc_data` — the reference's 4-way
+    simplex/hybrid/gauss/GAN-CE plot).
 
-    The reference compares simplex / hybrid / gaussian / a GAN
-    context-encoder; the GAN baseline's code is absent from the reference
-    repo itself (Comparative_models/CE.py — SURVEY.md §2.2), so this
-    compares the diffusion checkpoints given in `tokens`.
+    `tokens` are diffusion checkpoints.  `ce_token` adds the context-encoder
+    baseline's curve: the reference's own CE comparison imports code absent
+    from its repo (Comparative_models/CE.py — SURVEY.md §2.2); this
+    framework's working CE baseline (baselines.py) is trained on the named
+    config's healthy set and evaluated on the same anomalous set.
     """
     labels = labels or [f"args{t}" for t in tokens]
     curves = {}
     for token, label in zip(tokens, labels):
-        args, em, sched = _load_eval_model(root_dir, token)
+        args, em, sched = _load_eval_model(root_dir, token, use_checkpoint)
         noise_sampler = sampler_from_args(args)
         td = min(t_distance, sched.num_timesteps)
         fb = jit_with_params(em, lambda mf: lambda x, k:
@@ -443,15 +510,35 @@ def roc_data(tokens, labels=None, root_dir: str = ".",
         all_scores, all_labels = [], []
         for i in range(n):
             sample = d_set[i]
+            images = np.asarray(sample["image"])
+            masks = np.asarray(sample["mask"])
+            if images.ndim == 3:
+                images, masks = images[None], masks[None]
             key, sub = jax.random.split(key)
-            recon, _ = fb(jnp.asarray(sample["image"]), sub)
-            mse = (np.asarray(sample["image"]) - np.asarray(recon)) ** 2
+            recon, _ = fb(jnp.asarray(images), sub)
+            mse = (images - np.asarray(recon)) ** 2
             all_scores.append(mse.reshape(-1))
-            all_labels.append(np.asarray(sample["mask"]).reshape(-1))
+            all_labels.append(masks.reshape(-1))
         fpr, tpr, _ = M.roc_curve(np.concatenate(all_labels),
                                   np.concatenate(all_scores))
         curves[label] = (fpr, tpr)
         print(f"{label}: AUC={M.auc(fpr, tpr):.4f}", flush=True)
+
+    if ce_token is not None:
+        # context-encoder baseline curve (the reference's 4th method,
+        # detection.py:431-680; its CE code is absent — ours works)
+        from .baselines import ce_anomalous_metrics, train_context_encoder
+        from .config import load_args
+        ce_args = load_args(ce_token, config_dir=os.path.join(root_dir,
+                                                              "configs"))
+        ce_model, ce_params = train_context_encoder(ce_args,
+                                                    root_dir=root_dir,
+                                                    steps=ce_train_steps)
+        _, (ce_fpr, ce_tpr, _) = ce_anomalous_metrics(
+            ce_model, ce_params, ce_args, root_dir=root_dir,
+            max_volumes=max_volumes)
+        curves["context-encoder"] = (ce_fpr, ce_tpr)
+        print(f"context-encoder: AUC={M.auc(ce_fpr, ce_tpr):.4f}", flush=True)
 
     from .graphs import make_roc_csv
     out_csv = os.path.join(root_dir, "metrics", "roc-comparison.csv")
@@ -505,13 +592,21 @@ def main(argv=None):
         print(out)
         return
     if mode == "validation":
-        anomalous_validation(token=token)
+        anomalous_validation(token=token, use_checkpoint=use_checkpoint)
     elif mode == "graph":
-        graph_data(token=token)
+        graph_data(token=token, use_checkpoint=use_checkpoint)
     elif mode == "roc":
-        roc_data([token] + argv[2:])
+        # trailing "CE=<cfg>" adds the context-encoder baseline curve
+        rest, ce_token = argv[2:], None
+        for a in list(rest):
+            if a.startswith("CE="):
+                ce_token = a[3:]
+                rest.remove(a)
+        roc_data([token] + rest, use_checkpoint=use_checkpoint,
+                 ce_token=ce_token)
     else:
-        anomalous_metric_calculation(token=token)
+        anomalous_metric_calculation(token=token,
+                                     use_checkpoint=use_checkpoint)
 
 
 if __name__ == "__main__":

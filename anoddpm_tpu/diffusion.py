@@ -405,7 +405,14 @@ def make_loss_weights(loss_weight: str, num_timesteps: int):
 
 def sample_t_with_weights(key: jax.Array, batch: int, weight_table: jax.Array):
     """Weighted timestep draw + importance weights
-    (GaussianDiffusion.py:220-226)."""
+    (GaussianDiffusion.py:220-226).
+
+    INTENTIONAL DEVIATION: this computes the textbook importance weight
+    1/(N*p[t]); the reference computes (1/N)*p[t] — a bug that scales the
+    loss by ~p^2*N^2 relative to the unbiased estimator.  No shipped config
+    uses loss_weight != 'none', so shipped-config behaviour is identical;
+    documented in PARITY.md's quirk table.
+    """
     p = weight_table / jnp.sum(weight_table)
     t = jax.random.choice(key, weight_table.shape[0], (batch,), p=p)
     weights = 1.0 / (weight_table.shape[0] * p[t])

@@ -149,6 +149,26 @@ def test_config_loader():
     assert args["compute_dtype"] == "float32"
 
 
+def test_config_unknown_key_warns(tmp_path):
+    """Typo'd config keys warn instead of silently defaulting to ""
+    (config.validate_args against KNOWN_KEYS)."""
+    import json
+    import warnings
+    cfg = {"img_size": [64, 64], "Batch_Size": 1, "samle_distance": 100}
+    (tmp_path / "args9.json").write_text(json.dumps(cfg))
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        args = load_args("9", config_dir=str(tmp_path))
+    assert any("samle_distance" in str(w.message) for w in caught)
+    assert args["samle_distance"] == 100  # still passes through
+
+    # every shipped config must be warning-free
+    import glob
+    from anoddpm_tpu.config import validate_args
+    for p in glob.glob("configs/*.json"):
+        assert validate_args(json.load(open(p)), source=p) == [], p
+
+
 def test_multi_step_equivalence_single(setup):
     """multi_step with K=1 must advance state identically to one plain
     train_step call given the same derived key."""
