@@ -68,6 +68,25 @@ def simplex_noise(key: jax.Array, shape: Tuple[int, ...], t: jax.Array,
     return fields.reshape(b, c, h, w).transpose(0, 2, 3, 1)
 
 
+def simplex2d_noise(key: jax.Array, shape: Tuple[int, ...], t: jax.Array,
+                    octaves: int = 6, persistence: float = 0.8,
+                    frequency: float = 64.0) -> jax.Array:
+    """Timestep-independent 2D octave fields, NHWC output.
+
+    The capability counterpart of the reference noise class's 2D surface
+    (`rand_2d_octaves`, simplex.py:56-73) — exposed as noise kind
+    "simplex_2d".  The diffusion recipes all use the 3D fixed-t variant
+    (the z-plane tracks the timestep); 2D drops that coupling, so `t` is
+    ignored.
+    """
+    del t
+    b, h, w, c = shape
+    fields = sx.batched_fractal2(key, (h, w), n_fields=b * c,
+                                 octaves=octaves, persistence=persistence,
+                                 frequency=frequency)
+    return fields.reshape(b, c, h, w).transpose(0, 2, 3, 1)
+
+
 def simplex_rand_param_noise(key: jax.Array, shape: Tuple[int, ...],
                              t: jax.Array) -> jax.Array:
     """Simplex field with per-call random (octave, persistence, frequency)
@@ -99,13 +118,18 @@ def make_noise_sampler(kind: str, octaves: int = 6, persistence: float = 0.8,
                        share_batch: bool = False) -> NoiseSampler:
     """Noise dispatch by config kind (GaussianDiffusion.py:161-171).
 
-    kinds: "gauss" | "simplex" | "simplex_randParam" | "random"
+    kinds: "gauss" | "simplex" | "simplex_randParam" | "simplex_2d" | "random"
     (anything else falls through to plain simplex, as in the reference).
     """
     if kind == "gauss":
         return gaussian_noise
     if kind == "simplex_randParam":
         return simplex_rand_param_noise
+    if kind == "simplex_2d":
+        def simplex2d_sampler(key, shape, t):
+            return simplex2d_noise(key, shape, t, octaves, persistence,
+                                   frequency)
+        return simplex2d_sampler
     if kind == "random":
         def random_noise(key, shape, t):
             key_flip, key_noise = jax.random.split(key)

@@ -424,6 +424,181 @@ def opensimplex3_hash(seed: jax.Array, x: jax.Array, y: jax.Array,
     return _opensimplex3_core(extrapolate, x, y, z)
 
 
+def _opensimplex2_core(extrapolate, x: jax.Array, y: jax.Array) -> jax.Array:
+    """Branchless 2D OpenSimplex cell walk (reference scalar kernel:
+    simplex.py:211-309 `_noise2`).
+
+    2D is simpler than 3D: two always-active vertices (1,0)/(0,1), one
+    centre vertex ((0,0) or (1,1) by region), and one extra vertex whose
+    offsets are a piecewise-constant function of the in-cell coordinates —
+    all four evaluated unconditionally with the attenuation mask replacing
+    the reference's `if attn > 0` branches.
+    """
+    dtype = x.dtype
+    two_sq = 2.0 * SQUISH2
+
+    stretch = (x + y) * STRETCH2
+    xs, ys = x + stretch, y + stretch
+    xsb_f, ysb_f = jnp.floor(xs), jnp.floor(ys)
+    xsb = xsb_f.astype(jnp.int32)
+    ysb = ysb_f.astype(jnp.int32)
+
+    xins, yins = xs - xsb_f, ys - ysb_f
+    in_sum = xins + yins
+
+    squish = (xsb_f + ysb_f) * SQUISH2
+    dx0 = x - (xsb_f + squish)
+    dy0 = y - (ysb_f + squish)
+
+    def contrib(dx, dy, xsv, ysv):
+        attn = jnp.maximum(2.0 - dx * dx - dy * dy, 0.0)
+        a2 = attn * attn
+        return a2 * a2 * extrapolate(xsv, ysv, dx, dy)
+
+    # (1,0) and (0,1) contribute in every region
+    value = contrib(dx0 - 1.0 - SQUISH2, dy0 - SQUISH2, xsb + 1, ysb)
+    value = value + contrib(dx0 - SQUISH2, dy0 - 1.0 - SQUISH2, xsb, ysb + 1)
+
+    region1 = in_sum <= 1.0          # inside the (0,0) 2-simplex
+    xgty = xins > yins
+
+    # extra vertex, (0,0)-region: (±1, ∓1) when (0,0) is among the two
+    # closest vertices, else (1,1)
+    zins1 = 1.0 - in_sum
+    near0 = (zins1 > xins) | (zins1 > yins)
+    ex1 = jnp.where(near0, jnp.where(xgty, xsb + 1, xsb - 1), xsb + 1)
+    ey1 = jnp.where(near0, jnp.where(xgty, ysb - 1, ysb + 1), ysb + 1)
+    edx1 = jnp.where(near0, jnp.where(xgty, dx0 - 1.0, dx0 + 1.0),
+                     dx0 - 1.0 - two_sq)
+    edy1 = jnp.where(near0, jnp.where(xgty, dy0 + 1.0, dy0 - 1.0),
+                     dy0 - 1.0 - two_sq)
+
+    # extra vertex, (1,1)-region: (2,0)/(0,2) when (0,0) is among the two
+    # closest, else (0,0) itself
+    zins2 = 2.0 - in_sum
+    far0 = (zins2 < xins) | (zins2 < yins)
+    ex2 = jnp.where(far0, jnp.where(xgty, xsb + 2, xsb), xsb)
+    ey2 = jnp.where(far0, jnp.where(xgty, ysb, ysb + 2), ysb)
+    edx2 = jnp.where(far0, jnp.where(xgty, dx0 - 2.0 - two_sq, dx0 - two_sq),
+                     dx0)
+    edy2 = jnp.where(far0, jnp.where(xgty, dy0 - two_sq, dy0 - 2.0 - two_sq),
+                     dy0)
+
+    # centre vertex: (0,0) in region 1, (1,1) in region 2
+    cxs = jnp.where(region1, xsb, xsb + 1)
+    cys = jnp.where(region1, ysb, ysb + 1)
+    cdx = jnp.where(region1, dx0, dx0 - 1.0 - two_sq).astype(dtype)
+    cdy = jnp.where(region1, dy0, dy0 - 1.0 - two_sq).astype(dtype)
+    value = value + contrib(cdx, cdy, cxs, cys)
+
+    exs = jnp.where(region1, ex1, ex2)
+    eys = jnp.where(region1, ey1, ey2)
+    edx = jnp.where(region1, edx1, edx2).astype(dtype)
+    edy = jnp.where(region1, edy1, edy2).astype(dtype)
+    value = value + contrib(edx, edy, exs, eys)
+
+    return value / NORM2
+
+
+def opensimplex2(perm: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
+    """Table-exact OpenSimplex 2D noise, elementwise over broadcasted x/y.
+
+    Gradient selection matches the reference's `_extrapolate2`
+    (simplex.py:196-200): the flat-table byte offset `perm[...] & 0x0E`
+    becomes an index into the (8, 2) GRADIENTS2 table.
+    """
+    x, y = jnp.broadcast_arrays(x, y)
+    grads = jnp.asarray(GRADIENTS2, dtype=x.dtype)
+
+    def extrapolate(xsv, ysv, dx, dy):
+        gid = (perm[(perm[xsv & 0xFF] + ysv) & 0xFF] & 0x0E) >> 1
+        g = grads[gid]
+        return g[..., 0] * dx + g[..., 1] * dy
+
+    return _opensimplex2_core(extrapolate, x, y)
+
+
+def _grad_components2(gid: jax.Array, dtype) -> tuple:
+    """2D gradient from its id by arithmetic: the 8 octagon gradients are
+    sign patterns of (±5, ±2)/(±2, ±5) — row r has magnitudes (5,2) when r
+    is even, signs from bits 1 and 2."""
+    even = (gid & 1) == 0
+    gx = jnp.where(even, 5.0, 2.0).astype(dtype)
+    gy = jnp.where(even, 2.0, 5.0).astype(dtype)
+    gx = gx * jnp.where((gid & 2) != 0, -1.0, 1.0).astype(dtype)
+    gy = gy * jnp.where((gid & 4) != 0, -1.0, 1.0).astype(dtype)
+    return gx, gy
+
+
+def opensimplex2_hash(seed: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
+    """Gather-free OpenSimplex 2D noise (the TPU hot path): same cell walk,
+    gradient from a counter-based lattice hash — 2D analogue of
+    `opensimplex3_hash`."""
+    x, y = jnp.broadcast_arrays(x, y)
+    dtype = x.dtype
+    seed = jnp.asarray(seed)
+
+    def extrapolate(xsv, ysv, dx, dy):
+        h = (xsv.astype(jnp.uint32) * jnp.uint32(0x8DA6B343)
+             ^ ysv.astype(jnp.uint32) * jnp.uint32(0xD8163841)
+             ^ seed.astype(jnp.uint32))
+        h = h ^ (h >> 16)
+        h = h * jnp.uint32(0x85EBCA6B)
+        h = h ^ (h >> 13)
+        gid = (h & jnp.uint32(7)).astype(jnp.int32)
+        gx, gy = _grad_components2(gid, dtype)
+        return gx * dx + gy * dy
+
+    return _opensimplex2_core(extrapolate, x, y)
+
+
+def fractal2(perm: jax.Array, shape_hw: Tuple[int, int], octaves: int = 1,
+             persistence: float = 0.5, frequency: float = 32.0,
+             dtype=jnp.float32) -> jax.Array:
+    """Multi-octave 2D field — `rand_2d_octaves` semantics
+    (simplex.py:56-73): field[h, w] = sum_o persistence^o *
+    noise2(w * 2^o / freq, h * 2^o / freq).
+
+    (The reference's `_noise2a` flattens with a y-size stride, so its 2D
+    mixer is only self-consistent for square shapes; this version indexes
+    correctly for any (H, W).)
+    """
+    h, w = shape_hw
+    yy = jax.lax.broadcasted_iota(dtype, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(dtype, (h, w), 1)
+    out = jnp.zeros((h, w), dtype)
+    amplitude = 1.0
+    scale = 1.0 / frequency
+    for _ in range(int(octaves)):
+        out = out + amplitude * opensimplex2(perm, xx * scale, yy * scale)
+        scale = scale * 2.0
+        amplitude = amplitude * persistence
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("shape_hw", "octaves", "n_fields"))
+def batched_fractal2(key: jax.Array, shape_hw: Tuple[int, int],
+                     n_fields: int, octaves: int = 6,
+                     persistence: float = 0.8, frequency: float = 64.0):
+    """n_fields independent 2D octave fields (hash path, one fresh seed
+    each): returns (n, H, W) — the 2D counterpart of
+    `batched_fractal3_fixed_t` for t-independent corruption fields."""
+    seeds = seeds_from_key(key, n_fields)
+    h, w = shape_hw
+    yy = jax.lax.broadcasted_iota(jnp.float32, (n_fields, h, w), 1)
+    xx = jax.lax.broadcasted_iota(jnp.float32, (n_fields, h, w), 2)
+    seed = seeds[:, None, None]
+
+    def body(o, acc):
+        of = o.astype(jnp.float32)
+        scale = (2.0 ** of) / frequency
+        amp = persistence ** of
+        return acc + amp * opensimplex2_hash(seed, xx * scale, yy * scale)
+
+    return jax.lax.fori_loop(0, int(octaves), body,
+                             jnp.zeros((n_fields, h, w), jnp.float32))
+
+
 def fractal3_fixed_t(perm: jax.Array, grad_id3: jax.Array, shape_hw: Tuple[int, int],
                      t, octaves: int = 6, persistence: float = 0.8,
                      frequency: float = 64.0, dtype=jnp.float32) -> jax.Array:

@@ -120,3 +120,62 @@ def test_noise_statistics():
     assert abs(arr.mean()) < 0.2
     assert 0.05 < arr.std() < 2.0
     assert np.isfinite(arr).all()
+
+
+def test_noise2_matches_reference_scalar(golden):
+    """2D kernel vs the reference scalar `_noise2` (simplex.py:211-309)
+    evaluated at 2000 random points with the bit-exact seed-3 perm table."""
+    g = golden("golden_noise2.npz")
+    perm = jnp.asarray(g["perm"], jnp.int32)
+    pts = g["pts"]
+    vals = np.asarray(sx.opensimplex2(perm,
+                                      jnp.asarray(pts[:, 0], jnp.float32),
+                                      jnp.asarray(pts[:, 1], jnp.float32)))
+    err = np.abs(vals - g["vals"])
+    assert np.median(err) < 1e-6
+    assert (err < 1e-4).mean() > 0.99, f"max err {err.max()}"
+
+
+def test_octave2_field_matches_reference(golden):
+    """fractal2 vs the reference's rand_2d_octaves (simplex.py:56-73)."""
+    g = golden("golden_noise2.npz")
+    perm = jnp.asarray(g["perm"], jnp.int32)
+    field = sx.fractal2(perm, (16, 16), octaves=4, persistence=0.8,
+                        frequency=8.0)
+    err = np.abs(np.asarray(field) - g["field"])
+    assert np.median(err) < 1e-5
+    assert (err < 1e-3).mean() > 0.99, f"max err {err.max()}"
+
+
+def test_hash2_statistics_match_table2():
+    perm, _ = sx.perm_tables_from_seed(3)
+    pts = np.random.default_rng(5).uniform(-30, 30, size=(4000, 2)).astype(np.float32)
+    table_vals = np.asarray(sx.opensimplex2(
+        jnp.asarray(perm), jnp.asarray(pts[:, 0]), jnp.asarray(pts[:, 1])))
+    hash_vals = np.asarray(sx.opensimplex2_hash(
+        jnp.uint32(123), jnp.asarray(pts[:, 0]), jnp.asarray(pts[:, 1])))
+    assert abs(table_vals.mean()) < 0.02 and abs(hash_vals.mean()) < 0.02
+    assert 0.7 < hash_vals.std() / table_vals.std() < 1.3
+    assert np.abs(hash_vals).max() <= 1.0 + 1e-5
+
+
+def test_batched_fractal2_independent_fields():
+    # frequency 4 -> ~16x16 lattice cells: enough degrees of freedom for a
+    # meaningful sample correlation between fields
+    fields = np.asarray(sx.batched_fractal2(jax.random.key(0), (64, 64),
+                                            n_fields=3, octaves=4,
+                                            persistence=0.8, frequency=4.0))
+    assert fields.shape == (3, 64, 64)
+    c = np.corrcoef(fields[0].ravel(), fields[1].ravel())[0, 1]
+    assert abs(c) < 0.2
+    assert np.isfinite(fields).all()
+
+
+def test_simplex2d_noise_sampler():
+    from anoddpm_tpu.ops.noise import make_noise_sampler
+    sampler = make_noise_sampler("simplex_2d", octaves=4, frequency=8.0)
+    out = np.asarray(sampler(jax.random.key(1), (2, 32, 32, 1),
+                             jnp.array([5, 9])))
+    assert out.shape == (2, 32, 32, 1)
+    assert np.isfinite(out).all()
+    assert abs(out.mean()) < 0.2
