@@ -45,6 +45,145 @@ def _first_slice(args, root_dir, index: int = 0):
     return jnp.asarray(img), (np.asarray(mask) if mask is not None else None)
 
 
+def make_prediction(real, recon, mask, x_t, threshold: float = 0.5,
+                    error_fn: str = "sq"):
+    """The reusable 6-panel builder (generate_images.py:14-33): returns
+    (panels, thresholded_error) with panels stacked in the order
+    (real, x_t, reconstruction, error map, thresholded error, mask),
+    each (B, H, W, C), all in [-1, 1] display range.
+
+    error_fn "sq": err = ((recon - real)^2 * 2) - 1, thresholded against
+    (threshold * 2) - 1; "l1": raw signed difference.
+    """
+    real = np.asarray(real)
+    recon = np.asarray(recon)
+    mask = np.asarray(mask)
+    x_t = np.asarray(x_t)
+    if error_fn == "l1":
+        err = recon - real
+    else:
+        err = ((recon - real) ** 2 * 2) - 1
+    pred = ((err > (threshold * 2) - 1).astype(np.float32) * 2) - 1
+    panels = np.concatenate([real, x_t, recon, err, pred, mask], axis=0)
+    return panels, pred
+
+
+def _whole_sequence(args, em, sched, x, t_distance: int, key,
+                    sampler=None):
+    """Run "whole"-capture forward_backward and prepend x_0, matching the
+    reference's seq list (x_0, forward..x_lambda, reverse..x_0')."""
+    sampler = sampler or sampler_from_args(args)
+    recon, frames = jit_with_params(em, lambda mf: lambda xx, k:
+        dmod.forward_backward(mf, sched, xx, t_distance, k,
+                              noise_sampler=sampler,
+                              see_whole_sequence="whole"))(x, key)
+    full = np.concatenate([np.asarray(x)[None], np.asarray(frames)])
+    return np.asarray(recon), full
+
+
+def _sequence_row(frames, prediction, mask, n_fwd: int = 6):
+    """One filmstrip row (generate_images.py:48-68): `n_fwd` frames evenly
+    spaced over the forward half, n_fwd-1 frames mirrored from the end of
+    the reverse half, then prediction and ground-truth mask."""
+    fwd_idx = np.linspace(0, len(frames) // 2, n_fwd).astype(int)
+    bwd_idx = (-1 * fwd_idx[-2::-1]) - 1
+    idxs = np.append(fwd_idx, bwd_idx)
+    panels = [frames[i] for i in idxs] + [prediction, mask]
+    return np.concatenate(panels, axis=0), len(panels)
+
+
+def ano_outputs(args, em, sched, root_dir: str = ".", n_attempts: int = 3,
+                rows: int = 1, t_distance: int = 250,
+                threshold: float = 0.5):
+    """Per-attempt anomalous output sheets (generate_images.py:279-394
+    `make_ano_outputs`): for each attempt, `rows` anomalous slices are run
+    through "whole" partial diffusion; two figures are written per attempt —
+    the 6-panel prediction grid (via `make_prediction`) and the 13-column
+    denoise filmstrip with prediction + mask columns.  The reference
+    hardcodes rows=1, t_distance=250 after its random draws
+    (generate_images.py:333 — the draws are dead); we take them as
+    arguments with those defaults.
+    """
+    td = max(1, min(t_distance, sched.num_timesteps))
+    out_dir = os.path.join(_out_dir(root_dir), f"ARGS={args['arg_num']}")
+    os.makedirs(out_dir, exist_ok=True)
+    for attempt in range(n_attempts):
+        pred_rows, seq_rows = [], []
+        n_cols = 13
+        for r in range(rows):
+            x, mask = _first_slice(args, root_dir, index=attempt * rows + r)
+            mask_panel = (mask if mask is not None
+                          else np.zeros(np.asarray(x).shape, np.float32))
+            recon, full = _whole_sequence(args, em, sched, x, td,
+                                          jax.random.key(attempt * 97 + r))
+            panels, pred = make_prediction(np.asarray(x), recon, mask_panel,
+                                           full[max(td // 2, 1)], threshold)
+            pred_rows.append(panels)
+            row, n_cols = _sequence_row(full, pred, mask_panel)
+            seq_rows.append(row)
+        vz.save_grid_png(
+            os.path.join(out_dir,
+                         f"attempt={attempt + 1}-{threshold}-predictions.png"),
+            np.concatenate(pred_rows, axis=0), row_size=6)
+        vz.save_grid_png(
+            os.path.join(out_dir,
+                         f"attempt={attempt + 1}-{threshold}-sequence.png"),
+            np.concatenate(seq_rows, axis=0), row_size=n_cols)
+
+
+def test_set_outputs(simplex_token, gauss_token, root_dir: str = ".",
+                     anomalous: bool = False, t_distance: int = 250,
+                     n_attempts: int = 2, use_checkpoint: bool = False):
+    """The paper's Figure-1 generator (generate_images.py:546-693
+    `make_test_set_outputs`): rows of 7-column "whole" diffusion filmstrips
+    (4 forward frames, 3 reverse) for the SAME input images under the
+    simplex-trained and the gauss-trained checkpoints, on the healthy test
+    set (2 rows each) or the anomalous set (1 row each).
+    """
+    args_s, em_s, sched_s = _load_eval_model(root_dir, simplex_token,
+                                             use_checkpoint)
+    args_g, em_g, sched_g = _load_eval_model(root_dir, gauss_token,
+                                             use_checkpoint)
+    td = max(1, min(t_distance, sched_s.num_timesteps,
+                    sched_g.num_timesteps))
+    rows = 1 if anomalous else 2
+    out_dir = os.path.join(_out_dir(root_dir), f"ARGS={args_s['arg_num']}")
+    os.makedirs(out_dir, exist_ok=True)
+
+    if anomalous:
+        def get_image(i):
+            x, _ = _first_slice(args_s, root_dir, index=i)
+            return x
+    else:
+        from .data.datasets import dataset_from_args
+        d_set = dataset_from_args(root_dir, args_s, train=False)
+
+        def get_image(i):
+            return jnp.asarray(d_set[i % len(d_set)]["image"][None])
+
+    for attempt in range(n_attempts):
+        imgs = [get_image(attempt * rows + r) for r in range(rows)]
+        sequences = []
+        for args_m, em, sched, tag in ((args_s, em_s, sched_s, "simplex"),
+                                       (args_g, em_g, sched_g, "gauss")):
+            sampler = sampler_from_args(args_m)
+            for r, x in enumerate(imgs):
+                _, full = _whole_sequence(args_m, em, sched, x, td,
+                                          jax.random.key(attempt * 31 + r),
+                                          sampler=sampler)
+                sequences.append(full)
+        fwd_idx = np.linspace(0, len(sequences[0]) // 2, 4).astype(int)
+        bwd_idx = (-1 * fwd_idx[-2::-1]) - 1
+        idxs = np.append(fwd_idx, bwd_idx)
+        grid = np.concatenate(
+            [np.concatenate([seq[i] for i in idxs], axis=0)
+             for seq in sequences], axis=0)
+        vz.save_grid_png(
+            os.path.join(out_dir,
+                         f"test_set_mixed_attempt={attempt + 1}-sequence.png"),
+            grid, row_size=len(idxs))
+
+
 def denoise_sequence(args, em, sched, root_dir: str = ".",
                      t_distance: Optional[int] = None, n_cols: int = 13):
     """Forward/backward filmstrip figure (generate_images.py:36-115)."""
@@ -66,26 +205,26 @@ def denoise_sequence(args, em, sched, root_dir: str = ".",
 
 def masked_comparison(args, em, sched, root_dir: str = ".",
                       t_distance: int = 250, n_volumes: int = 4):
-    """Rows of (input, reconstruction, sq-err, prediction, mask)
-    (generate_images.py:118-184)."""
+    """Rows of make_prediction 6-panels: (input, x_t, reconstruction,
+    sq-err, prediction, mask) (generate_images.py:118-184, panels built by
+    :14-33)."""
     sampler = sampler_from_args(args)
+    td = min(t_distance, sched.num_timesteps)
     fb = jit_with_params(em, lambda mf: lambda xx, k:
-        dmod.forward_backward(mf, sched, xx,
-                              min(t_distance, sched.num_timesteps), k,
-                              noise_sampler=sampler))
+        dmod.forward_backward(mf, sched, xx, td, k, noise_sampler=sampler,
+                              see_whole_sequence="half"))
     rows = []
     for i in range(n_volumes):
         x, mask = _first_slice(args, root_dir, index=i)
-        recon, _ = fb(x, jax.random.key(i))
-        recon = np.asarray(recon)
-        mse = ((np.asarray(x) - recon) ** 2 * 2) - 1
-        pred = ((mse > 0).astype(np.float32) * 2) - 1
-        mask_panel = mask if mask is not None else np.zeros_like(recon)
-        rows.append(np.concatenate([np.asarray(x), recon, mse, pred,
-                                    mask_panel], axis=0))
+        recon, frames = fb(x, jax.random.key(i))
+        mask_panel = (mask if mask is not None
+                      else np.zeros(np.asarray(recon).shape, np.float32))
+        panels, _ = make_prediction(np.asarray(x), np.asarray(recon),
+                                    mask_panel, np.asarray(frames[0]))
+        rows.append(panels)
     vz.save_grid_png(os.path.join(_out_dir(root_dir),
                                   f"ARGS={args['arg_num']}-masked-comparison.png"),
-                     np.concatenate(rows, axis=0), row_size=5)
+                     np.concatenate(rows, axis=0), row_size=6)
 
 
 def diffusion_videos(args, em, sched, root_dir: str = ".",
@@ -113,18 +252,18 @@ def gauss_simplex_comparison(args, em, sched, root_dir: str = ".",
     rows = []
     for kind in ("gauss", "simplex"):
         sampler = make_noise_sampler(kind)
-        recon, _ = jit_with_params(em, lambda mf: lambda xx, k:
+        recon, frames = jit_with_params(em, lambda mf: lambda xx, k:
             dmod.forward_backward(mf, sched, xx, td, k,
-                                  noise_sampler=sampler))(x, jax.random.key(7))
-        recon = np.asarray(recon)
-        mse = ((np.asarray(x) - recon) ** 2 * 2) - 1
-        pred = ((mse > 0).astype(np.float32) * 2) - 1
-        mask_panel = mask if mask is not None else np.zeros_like(recon)
-        rows.append(np.concatenate([np.asarray(x), recon, mse, pred,
-                                    mask_panel], axis=0))
+                                  noise_sampler=sampler,
+                                  see_whole_sequence="half"))(x, jax.random.key(7))
+        mask_panel = (mask if mask is not None
+                      else np.zeros(np.asarray(recon).shape, np.float32))
+        panels, _ = make_prediction(np.asarray(x), np.asarray(recon),
+                                    mask_panel, np.asarray(frames[0]))
+        rows.append(panels)
     vz.save_grid_png(os.path.join(_out_dir(root_dir),
                                   f"ARGS={args['arg_num']}-gauss-vs-simplex.png"),
-                     np.concatenate(rows, axis=0), row_size=5)
+                     np.concatenate(rows, axis=0), row_size=6)
 
 
 def varying_frequency(args, em, sched, root_dir: str = ".",
@@ -164,6 +303,7 @@ GENERATORS = {
     "sequence": denoise_sequence,
     "masked_comparison": masked_comparison,
     "videos": diffusion_videos,
+    "ano": ano_outputs,
     "gauss_simplex": gauss_simplex_comparison,
     "varying_frequency": varying_frequency,
     "varying_t": gauss_varying_t,
@@ -173,10 +313,20 @@ GENERATORS = {
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv:
-        raise SystemExit(f"usage: python -m anoddpm_tpu.figures <ARG_NUM> "
-                         f"[{'|'.join(GENERATORS)}|all]")
+        raise SystemExit(
+            f"usage: python -m anoddpm_tpu.figures <ARG_NUM> "
+            f"[{'|'.join(GENERATORS)}|all]\n"
+            f"       python -m anoddpm_tpu.figures <SIMPLEX_ARG_NUM> "
+            f"test_set <GAUSS_ARG_NUM> [anomalous]")
     token = argv[0]
     which = argv[1] if len(argv) > 1 else "all"
+    if which == "test_set":
+        # Fig-1 needs TWO checkpoints (generate_images.py:554-557 hardcodes
+        # args 28/26); here both are CLI tokens
+        if len(argv) < 3:
+            raise SystemExit("test_set needs a second (gauss) ARG_NUM")
+        test_set_outputs(token, argv[2], anomalous="anomalous" in argv[3:])
+        return
     args, em, sched = _load_eval_model(".", token)
     targets = GENERATORS if which == "all" else {which: GENERATORS[which]}
     for name, fn in targets.items():

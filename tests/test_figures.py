@@ -54,3 +54,52 @@ def test_gauss_varying_t(bundle):
     out = os.path.join(root, "final-outputs",
                        "ARGS=figtest-gauss-varyingT.png")
     assert os.path.exists(out)
+
+
+def test_make_prediction_panels():
+    rng = np.random.default_rng(0)
+    real = rng.normal(size=(2, 8, 8, 1)).astype(np.float32)
+    recon = real + 0.1
+    mask = np.zeros_like(real)
+    x_t = real * 0.5
+    panels, pred = F.make_prediction(real, recon, mask, x_t, threshold=0.5)
+    assert panels.shape == (12, 8, 8, 1)  # 6 panel groups x batch 2
+    np.testing.assert_array_equal(panels[:2], real)
+    np.testing.assert_array_equal(panels[2:4], x_t)
+    np.testing.assert_array_equal(panels[4:6], recon)
+    # sq-err .01*2-1 < 0 -> below the 0 display threshold everywhere
+    assert (pred == -1).all()
+    # l1 mode returns the signed difference
+    panels_l1, _ = F.make_prediction(real, recon, mask, x_t, error_fn="l1")
+    np.testing.assert_allclose(panels_l1[6:8], recon - real, rtol=1e-6)
+
+
+def test_ano_outputs_writes_sheets(bundle):
+    args, em, sched, root = bundle
+    F.ano_outputs(args, em, sched, root_dir=root, n_attempts=1, rows=2,
+                  t_distance=6)
+    d = os.path.join(root, "final-outputs", "ARGS=figtest")
+    files = os.listdir(d)
+    assert any("predictions.png" in f for f in files)
+    assert any("sequence.png" in f for f in files)
+
+
+def test_test_set_outputs_two_checkpoints(tmp_path):
+    """Fig-1 generator drives two checkpoints over the same inputs."""
+    root = str(tmp_path)
+    img = 32
+    model = UNet(img_size=img, base_channels=32, in_channels=1,
+                 channel_mults=(1, 2), attention_resolutions="16")
+    params = jax.jit(model.init)(jax.random.key(0),
+                                 jnp.zeros((1, img, img, 1)),
+                                 jnp.zeros((1,), jnp.int32))
+    for tok, noise in (("figsx", "simplex"), ("figgs", "gauss")):
+        args = {"arg_num": tok, "img_size": (img, img), "noise_fn": noise,
+                "dataset": "synthetic", "T": 10, "beta_schedule": "cosine",
+                "base_channels": 32, "channel_mults": [1, 2],
+                "attention_resolutions": "16", "sample_distance": 8}
+        save_checkpoint(root, args, 1, params, params, {}, final=True)
+    F.test_set_outputs("figsx", "figgs", root_dir=root, anomalous=True,
+                       t_distance=5, n_attempts=1)
+    d = os.path.join(root, "final-outputs", "ARGS=figsx")
+    assert any("test_set_mixed" in f for f in os.listdir(d))
