@@ -59,31 +59,63 @@ def batch_iterator(dataset, batch_size: int, shuffle: bool = True,
 
 
 def prefetch_to_device(it: Iterator, size: int = 2, mesh=None,
-                       keys=("image",)):
+                       keys=("image",), substeps: int = 1):
     """Background-thread prefetch; device_put of `keys` with the data
-    sharding when a mesh is given."""
+    sharding when a mesh is given.
+
+    With ``substeps > 1``, each yielded batch stacks that many consecutive
+    batches along a new LEADING axis — ``image`` becomes
+    ``(substeps, B, H, W, C)`` — stacked and device_put on the producer
+    thread with the per-step batch axis (axis 1) sharded over 'data', so the
+    fused multi-step trainer (training.py:make_multi_step) dispatches one
+    already-resident chunk instead of stalling the step loop on host-side
+    ``jnp.stack`` (the round-1 ingest bottleneck)."""
     import jax
     q: "queue.Queue" = queue.Queue(maxsize=size)
     sentinel = object()
 
     if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
         from ..parallel.mesh import batch_sharding
 
         def place(batch):
             out = dict(batch)
             for k in keys:
                 if k in out and isinstance(out[k], np.ndarray):
-                    out[k] = jax.device_put(
-                        out[k], batch_sharding(mesh, out[k].ndim))
+                    arr = out[k]
+                    if substeps > 1:  # leading substep axis is unsharded
+                        spec = P(None, "data", *([None] * (arr.ndim - 2)))
+                        sh = NamedSharding(mesh, spec)
+                    else:
+                        sh = batch_sharding(mesh, arr.ndim)
+                    out[k] = jax.device_put(arr, sh)
             return out
     else:
         def place(batch):
             return batch
 
+    def stack_substeps():
+        while True:
+            group = []
+            for _ in range(substeps):
+                group.append(next(it))
+            batch: Dict[str, object] = {}
+            for k in group[0]:
+                vals = [g[k] for g in group]
+                if k in keys and isinstance(vals[0], np.ndarray):
+                    batch[k] = np.stack(vals)
+                else:
+                    batch[k] = vals[-1]
+            yield batch
+
+    source = stack_substeps() if substeps > 1 else it
+
     def producer():
         try:
-            for item in it:
+            for item in source:
                 q.put(place(item))
+        except StopIteration:
+            pass
         finally:
             q.put(sentinel)
 

@@ -354,15 +354,20 @@ def anomalous_validation(args=None, root_dir: str = ".",
 
 def sharded_anomalous_metrics(args, em, sched, mesh, root_dir: str = ".",
                               t_distance: int = 200,
-                              max_volumes: Optional[int] = None):
-    """Data-parallel headline metrics: ALL anomalous slices gathered into one
-    global batch, sharded over the mesh's 'data' axis, one jitted
-    forward_backward for the whole evaluation (the reference evaluates
+                              max_volumes: Optional[int] = None,
+                              chunk_per_device: int = 16):
+    """Data-parallel headline metrics: anomalous slices stream through the
+    mesh in fixed-size chunks (chunk_per_device slices per chip per
+    dispatch), each chunk sharded over 'data' and reconstructed by ONE
+    compiled forward_backward program (the reference evaluates
     slice-by-slice on one device, detection.py:208-250).
 
     Detection sweeps are embarrassingly parallel across slices (SURVEY.md
     §2.3) — XLA partitions the chain across chips with zero collectives in
-    the hot loop.
+    the hot loop.  Chunking bounds device memory for arbitrarily large
+    anomalous sets (the last chunk is wrap-padded so every dispatch reuses
+    the same static shape); per-slice metrics run as one vectorised host
+    pass (metrics.batched_anomaly_metrics), not a python loop.
     """
     from .parallel.mesh import batch_sharding, replicated
     t_distance = min(t_distance, sched.num_timesteps)
@@ -383,11 +388,9 @@ def sharded_anomalous_metrics(args, em, sched, mesh, root_dir: str = ".",
     masks = np.concatenate(masks)
     n_slices = images.shape[0]
 
-    # pad to a multiple of the mesh size
     n_dev = mesh.devices.size
-    pad = (-n_slices) % n_dev
-    if pad:
-        images = np.concatenate([images, images[:pad]])
+    chunk = min(n_dev * max(chunk_per_device, 1),
+                n_slices + (-n_slices) % n_dev)
 
     rep = replicated(mesh)
     fb = jax.jit(
@@ -396,25 +399,21 @@ def sharded_anomalous_metrics(args, em, sched, mesh, root_dir: str = ".",
             t_distance, k, noise_sampler=noise_sampler),
         in_shardings=(rep, batch_sharding(mesh, 4), rep),
         out_shardings=(batch_sharding(mesh, 4), None))
-    x = jax.device_put(jnp.asarray(images), batch_sharding(mesh, 4))
-    recon, _ = fb(em.params, x, jax.random.key(17))
-    recon = np.asarray(recon)[:n_slices]
 
-    totals = {k: [] for k in ("dice", "ssim", "iou", "precision", "recall",
-                              "fpr", "auc")}
-    for s in range(n_slices):
-        img, rec, msk = images[s], recon[s], masks[s]
-        mse_raw = M.square_error(img, rec)
-        pred = (mse_raw > 0.5).astype(np.float32)
-        totals["auc"].append(M.roc_auc_score(msk.astype(np.uint8), mse_raw))
-        totals["dice"].append(M.dice_coeff(img, rec, msk, mse=pred))
-        totals["ssim"].append(M.ssim(img, rec, channel_axis=2))
-        totals["precision"].append(M.precision(msk, pred))
-        totals["recall"].append(M.recall(msk, pred))
-        totals["iou"].append(M.iou(msk, pred))
-        totals["fpr"].append(M.fpr(msk, pred))
+    recons = []
+    for start in range(0, n_slices, chunk):
+        block = images[start:start + chunk]
+        pad = chunk - block.shape[0]
+        if pad:  # wrap-pad so every dispatch shares one compiled program
+            block = np.concatenate([block, images[:pad]])
+        x = jax.device_put(jnp.asarray(block), batch_sharding(mesh, 4))
+        recon, _ = fb(em.params, x, jax.random.key(17 + start))
+        recons.append(np.asarray(recon)[:chunk - pad or None])
+    recon = np.concatenate(recons)[:n_slices]
+
+    per_slice = M.batched_anomaly_metrics(images[:n_slices], recon, masks)
     summary = {}
-    for k, v in totals.items():
+    for k, v in per_slice.items():
         summary[k] = float(np.mean(v))
         summary[k + "_std"] = float(np.std(v))
     _write_metrics_csv(root_dir, args["arg_num"], summary)

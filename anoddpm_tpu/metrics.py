@@ -139,6 +139,79 @@ def roc_auc_score(labels, scores) -> float:
     return auc(f, t)
 
 
+def batched_roc_auc(labels: np.ndarray, scores: np.ndarray) -> np.ndarray:
+    """Per-slice ROC-AUC over a (S, ...) stack, vectorised.
+
+    Uses the rank-sum (Mann-Whitney U) identity with average ranks for
+    ties — exactly equal to the trapezoidal ROC integral of `roc_auc_score`
+    — via scipy's C rankdata, so S slices cost one vectorised pass instead
+    of S python-level curve builds."""
+    from scipy.stats import rankdata
+    s = scores.reshape(scores.shape[0], -1).astype(np.float64)
+    l = labels.reshape(labels.shape[0], -1).astype(bool)
+    ranks = rankdata(s, method="average", axis=1)
+    p = l.sum(axis=1).astype(np.float64)
+    n = l.shape[1] - p
+    rank_sum = np.where(l, ranks, 0.0).sum(axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return (rank_sum - p * (p + 1) / 2) / (p * n)
+
+
+def batched_ssim(real: np.ndarray, recon: np.ndarray,
+                 data_range: float = 2.0, win_size: int = 7,
+                 k1: float = 0.01, k2: float = 0.03) -> np.ndarray:
+    """Per-slice SSIM over (S, H, W, C) stacks (mean over channels),
+    identical algorithm to `ssim` but filtered once across the whole stack
+    (uniform window applied over the H/W axes only)."""
+    real = np.asarray(real, np.float64)
+    recon = np.asarray(recon, np.float64)
+    np_win = win_size ** 2
+    cov_norm = np_win / (np_win - 1)
+    filt = lambda a: uniform_filter(a, size=(1, win_size, win_size, 1))
+    ux, uy = filt(real), filt(recon)
+    uxx, uyy, uxy = filt(real * real), filt(recon * recon), filt(real * recon)
+    vx = cov_norm * (uxx - ux * ux)
+    vy = cov_norm * (uyy - uy * uy)
+    vxy = cov_norm * (uxy - ux * uy)
+    c1 = (k1 * data_range) ** 2
+    c2 = (k2 * data_range) ** 2
+    s = ((2 * ux * uy + c1) * (2 * vxy + c2)) / (
+        (ux ** 2 + uy ** 2 + c1) * (vx + vy + c2))
+    pad = (win_size - 1) // 2
+    return s[:, pad:s.shape[1] - pad, pad:s.shape[2] - pad, :].mean(
+        axis=(1, 2, 3))
+
+
+def batched_anomaly_metrics(real: np.ndarray, recon: np.ndarray,
+                            mask: np.ndarray) -> dict:
+    """All seven per-slice detection metrics over (S, H, W, C) stacks in one
+    vectorised pass — the batched counterpart of the scalar reference-parity
+    functions above (same conventions, including the reference's swapped
+    recall/FPR quirks).  Returns {name: (S,) float64 array}."""
+    real = np.asarray(real, np.float64)
+    recon = np.asarray(recon, np.float64)
+    mask = np.asarray(mask, np.float64)
+    axes = tuple(range(1, real.ndim))
+    mse_raw = (real - recon) ** 2
+    pred = (mse_raw > 0.5).astype(np.float64)
+    m1, p1 = mask == 1, pred == 1
+    m0, p0 = mask == 0, pred == 0
+    tp = (m1 & p1).sum(axis=axes).astype(np.float64)
+    inter = (pred * mask).sum(axis=axes)
+    union = pred.sum(axis=axes) + mask.sum(axis=axes)
+    return {
+        "auc": batched_roc_auc(mask.astype(np.uint8), mse_raw),
+        "dice": (2.0 * inter + 1e-6) / (union + 1e-6),
+        "ssim": batched_ssim(real, recon),
+        "iou": ((m1.astype(bool) & p1).sum(axis=axes)
+                / ((m1 | p1).sum(axis=axes) + 1e-8)),
+        "precision": tp / (tp + (m1 & p0).sum(axis=axes) + 1e-6),
+        "recall": tp / (tp + (m0 & p1).sum(axis=axes) + 1e-6),
+        "fpr": ((m1 & p0).sum(axis=axes)
+                / ((m1 & p0).sum(axis=axes) + (m0 & p0).sum(axis=axes) + 1e-6)),
+    }
+
+
 def ssim(real: np.ndarray, recon: np.ndarray, data_range: float = 2.0,
          win_size: int = 7, k1: float = 0.01, k2: float = 0.03,
          channel_axis=None) -> float:

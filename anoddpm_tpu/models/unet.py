@@ -294,7 +294,12 @@ def unet_from_args(args, in_channels: int, dtype=None) -> UNet:
     img_size = args["img_size"][0] if isinstance(args["img_size"], (tuple, list)) \
         else int(args["img_size"])
     mults = args.get("channel_mults", "")
-    mults = tuple(mults) if mults not in ("", None) else ()
+    if isinstance(mults, str):
+        mults = tuple(int(s) for s in mults.replace(",", " ").split())
+    elif mults is None:
+        mults = ()
+    else:
+        mults = tuple(int(m) for m in mults)
     return UNet(
         img_size=int(img_size),
         base_channels=int(args["base_channels"]),

@@ -56,6 +56,41 @@ def maybe_profile(name: str = "train"):
         yield
 
 
+class ProfileWindow:
+    """Capture an XLA device trace of ONE steady-state training epoch.
+
+    Active only when ANODDPM_PROFILE_DIR is set.  By default it traces
+    relative epoch 1 (the second epoch of the run — after the step has
+    compiled), overridable with ANODDPM_PROFILE_EPOCH.  Open the trace with
+    TensorBoard/xprof.  This is the hook the reference lacks entirely
+    (its loop is print-only, diffusion_training.py:118-137)."""
+
+    def __init__(self, name: str = "train", epoch_index: int = 1):
+        self.dir = os.environ.get("ANODDPM_PROFILE_DIR")
+        self.epoch_index = int(
+            os.environ.get("ANODDPM_PROFILE_EPOCH", epoch_index))
+        self.name = name
+        self._active = False
+
+    def start_epoch(self, rel_epoch: int) -> None:
+        if self.dir and not self._active and rel_epoch == self.epoch_index:
+            import jax
+            out = os.path.join(self.dir, self.name)
+            os.makedirs(out, exist_ok=True)
+            jax.profiler.start_trace(out)
+            self._active = True
+
+    def end_epoch(self, rel_epoch: int) -> None:
+        if self._active and rel_epoch == self.epoch_index:
+            self.stop()
+
+    def stop(self) -> None:
+        if self._active:
+            import jax
+            jax.profiler.stop_trace()
+            self._active = False
+
+
 class StepTimer:
     """Steady-state step timing with warmup exclusion."""
 

@@ -23,7 +23,7 @@ import numpy as np
 from . import diffusion as dmod
 from . import evaluation as ev
 from . import visualize as vz
-from .observe import MetricsLogger, StepTimer
+from .observe import MetricsLogger, ProfileWindow, StepTimer
 from .checkpoint import (load_checkpoint, purge_checkpoints,
                          save_checkpoint)
 from .config import load_args, resolve_in_channels
@@ -92,8 +92,11 @@ def train(args, root_dir: str = ".", resume: Optional[str] = None,
 
     dataset = dataset_from_args(root_dir, args, train=True)
     test_dataset = dataset_from_args(root_dir, args, train=False)
+    # substep stacking happens on the prefetch thread (already sharded on
+    # arrival) so the step loop never stalls on host-side jnp.stack
     loader = prefetch_to_device(
-        batch_iterator(dataset, batch_size, shuffle=True), mesh=mesh)
+        batch_iterator(dataset, batch_size, shuffle=True), mesh=mesh,
+        substeps=substeps)
     test_loader = batch_iterator(test_dataset, batch_size, shuffle=True, seed=1)
 
     is_cifar = str(args.get("dataset", "")).lower() == "cifar"
@@ -103,34 +106,56 @@ def train(args, root_dir: str = ".", resume: Optional[str] = None,
     checkpoint_every = int(args.get("checkpoint_every", 1000) or 1000)
 
     vlb_fn = None
+    snap_fn = None
     start_time = time.time()
     losses = []
     vlb_log = []
     mlog = MetricsLogger(f"{root_dir}/metrics/args{args['arg_num']}-train.jsonl")
     timer = StepTimer()
+    prof = ProfileWindow(f"train-args{args['arg_num']}")
 
     for epoch in range(start_epoch, epochs + 1):
+        prof.start_epoch(epoch - start_epoch)
         epoch_losses = []
         for i in range(max(iters_per_epoch // substeps, 1)):
-            if substeps > 1:
-                x = jnp.stack([jnp.asarray(next(loader)["image"])
-                               for _ in range(substeps)])
-                batch = {"image": x[-1]}
-            else:
-                batch = next(loader)
-                x = batch["image"]
+            batch = next(loader)
+            x = batch["image"]
+            x_vis = x[-1] if substeps > 1 else x
             state, metrics = train_step(state, x, key)
             timer.tick()
             epoch_losses.append(metrics["loss"])
 
-            if (epoch % 50 == 0 and i == 0 and args.get("save_imgs")
-                    and "x_t" in metrics):
+            if epoch % 50 == 0 and i == 0 and args.get("save_imgs"):
                 out_path = (f"{root_dir}/diffusion-training-images/"
                             f"ARGS={args['arg_num']}/EPOCH={epoch}.png")
-                vz.training_snapshot(out_path, np.asarray(x),
-                                     np.asarray(metrics["x_t"]),
-                                     np.asarray(metrics["estimate"]), epoch)
+                if epoch % 100 == 0:
+                    # real / sample / pred_x_0 grid from ONE EMA reverse step
+                    # at a random t (diffusion_training.py:211-221; the
+                    # reference q-jumps with torch.rand_like — uniform noise,
+                    # a quirk we normalise to the training noise sampler)
+                    if snap_fn is None:
+                        def _snap(params, xx, k):
+                            tk, nk, sk = jax.random.split(k, 3)
+                            tt = dmod.sample_timesteps(
+                                tk, xx.shape[0], sched.num_timesteps)
+                            x_t = dmod.sample_q(
+                                sched, xx, tt, noise_sampler(nk, xx.shape, tt))
+                            mf = lambda a, b: model.apply(params, a, b)
+                            return dmod.sample_p(mf, sched, x_t, tt, sk)
+                        snap_fn = jax.jit(_snap)
+                    key, sub = jax.random.split(key)
+                    sample, pred_x0 = snap_fn(state.ema_params,
+                                              jnp.asarray(x_vis), sub)
+                    vz.sample_snapshot(out_path, np.asarray(x_vis),
+                                       np.asarray(sample),
+                                       np.asarray(pred_x0), epoch)
+                elif "x_t" in metrics:
+                    vz.training_snapshot(out_path, np.asarray(x_vis),
+                                         np.asarray(metrics["x_t"]),
+                                         np.asarray(metrics["estimate"]),
+                                         epoch)
 
+        prof.end_epoch(epoch - start_epoch)
         losses.append(float(jnp.mean(jnp.stack(epoch_losses))))
         if epoch % 10 == 0:
             mlog.log(int(state.step), epoch=epoch, loss=losses[-1],
@@ -144,8 +169,7 @@ def train(args, root_dir: str = ".", resume: Optional[str] = None,
                     lambda params, x, k: dmod.calc_total_vlb(
                         make_eval_model_fn(model, params), sched, x, k))
             key, sub = jax.random.split(key)
-            x_last = batch["image"]
-            vlb_terms = vlb_fn(state.params, jnp.asarray(x_last), sub)
+            vlb_terms = vlb_fn(state.params, jnp.asarray(x_vis), sub)
             vlb_log.append(float(jnp.mean(vlb_terms["total_vlb"])))
             elapsed = time.time() - start_time
             done = epoch + 1 - start_epoch
@@ -173,12 +197,13 @@ def train(args, root_dir: str = ".", resume: Optional[str] = None,
                 dmod.forward_backward(mf, sched, x, lam, k,
                                       noise_sampler=noise_sampler,
                                       see_whole_sequence="half"))(
-                jnp.asarray(batch["image"]), sub)
+                jnp.asarray(x_vis), sub)
             vz.save_video(
                 f"{root_dir}/diffusion-videos/ARGS={args['arg_num']}/"
                 f"sample-EPOCH={epoch}.mp4",
                 list(np.asarray(frames)), row_size=min(8, batch_size))
 
+    prof.stop()
     mlog.close()
     save_checkpoint(root_dir, args, epochs, state.params, state.ema_params,
                     state.opt_state, final=True)

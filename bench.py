@@ -77,6 +77,53 @@ def run_bench(batch: int, t_distance: int = 250, img: int = 256,
     return batch / dt, dt
 
 
+def run_train_bench(batch: int = 8, img: int = 256, base_channels: int = 128,
+                    substeps: int = 8, repeats: int = 3,
+                    space_to_depth: int = 1):
+    """Training imgs/sec/chip + MFU: the fused K-step scan (training.
+    make_multi_step — one dispatch per K optimizer steps, as production
+    training runs with train_substeps) on the paper-config recipe, simplex
+    noise in-step, bf16.  Fresh keys/data per repeat (relay memoization);
+    median of repeats."""
+    import numpy as np
+    from anoddpm_tpu.models.unet import UNet
+    from anoddpm_tpu.ops.noise import make_noise_sampler
+    from anoddpm_tpu.schedule import get_beta_schedule, make_schedule
+    from anoddpm_tpu.training import (init_train_state, make_multi_step,
+                                      make_optimizer, make_train_step)
+
+    model = UNet(img_size=img, base_channels=base_channels, in_channels=1,
+                 attention_resolutions="16,8", n_heads=2,
+                 space_to_depth=space_to_depth, dtype=jnp.bfloat16)
+    sched = make_schedule(get_beta_schedule(1000, "linear"))
+    tx = make_optimizer(1e-4)
+    state = jax.jit(lambda k: init_train_state(
+        model, tx, k, (batch, img, img, 1)))(jax.random.key(0))
+    step = jax.jit(make_multi_step(
+        make_train_step(model, sched, tx, make_noise_sampler("simplex"),
+                        max_t=800), substeps), donate_argnums=(0,))
+    x = jnp.asarray(np.random.default_rng(0).uniform(
+        -1, 1, (substeps, batch, img, img, 1)).astype(np.float32))
+
+    state, m = step(state, x, jax.random.key(99))   # compile + warmup
+    jax.block_until_ready(m["loss"])
+    times = []
+    for i in range(repeats):
+        xs = x + i * 1e-6
+        t0 = time.time()
+        state, m = step(state, xs, jax.random.key(i))
+        jax.block_until_ready(m["loss"])
+        times.append(time.time() - t0)
+    sec_per_step = float(np.median(times)) / substeps
+    # fwd+bwd FLOPs from XLA's cost model.  NOTE: cost_analysis on a
+    # lax.scan program reports the body ONCE (not x trip count), so the
+    # scan total IS the per-step figure.
+    flops = step.lower(state, x, jax.random.key(0)).compile(
+        ).cost_analysis()["flops"]
+    mfu = flops / sec_per_step / 1e12 / 197.0
+    return batch / sec_per_step, mfu
+
+
 def main():
     quick = os.environ.get("BENCH_QUICK") == "1"
     batch = int(os.environ.get("BENCH_BATCH", "4" if quick else "32"))
@@ -113,6 +160,10 @@ def main():
                                   ddim_eta=ddim_eta)
         result["paper_config_ddpm_full_chain"] = round(paper_ddpm, 3)
         result["paper_config_ddim"] = round(paper_ddim, 3)
+        # training throughput on the paper config (fused-substep dispatch)
+        train_ips, train_mfu = run_train_bench()
+        result["train_imgs_per_sec_chip_paper_config"] = round(train_ips, 2)
+        result["train_mfu_paper_config"] = round(train_mfu, 3)
     print(json.dumps(result))
 
 

@@ -187,3 +187,33 @@ def test_multi_step_equivalence_single(setup):
     assert int(s_a.step) == int(s_b.step) == 1
     np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]),
                                rtol=1e-5)
+
+
+def test_multi_substep_prefetch_on_mesh(setup):
+    """VERDICT #8: multi-substep + mesh + prefetch compose — the prefetcher
+    stacks substep batches on its own thread and lands them with the
+    per-step batch axis sharded; the fused multi-step trainer consumes them
+    without any host-side jnp.stack in the loop."""
+    from anoddpm_tpu.data.pipeline import batch_iterator, prefetch_to_device
+    from anoddpm_tpu.data.synthetic import SyntheticMRIDataset
+    from anoddpm_tpu.parallel.mesh import make_mesh
+    from anoddpm_tpu.training import jit_multi_step
+
+    model, sched, tx, state = setup
+    state = jax.tree_util.tree_map(jnp.copy, state)
+    mesh = make_mesh()
+    substeps = 3
+    step = jit_multi_step(make_train_step(model, sched, tx,
+                                          make_noise_sampler("gauss"),
+                                          max_t=T), substeps, mesh=mesh)
+    ds = SyntheticMRIDataset(img_size=(IMG, IMG), length=32)
+    loader = prefetch_to_device(batch_iterator(ds, 8, shuffle=False),
+                                mesh=mesh, substeps=substeps)
+    batch = next(loader)
+    x = batch["image"]
+    assert x.shape == (substeps, 8, IMG, IMG, 1)
+    # leading substep axis replicated, per-step batch axis sharded over data
+    assert x.sharding.spec[0] is None and x.sharding.spec[1] == "data"
+    state2, metrics = step(state, x, jax.random.key(5))
+    assert int(state2.step) == substeps
+    assert np.isfinite(float(metrics["loss"]))

@@ -1,0 +1,56 @@
+"""Smoke-run the FULL training recipe (train.train) on a tiny config:
+both snapshot artifact kinds (the epoch%100 sample_p grid and the
+epoch%50 x_t/eps-hat grid — diffusion_training.py:211-235), the final
+checkpoint, the metrics JSONL, and the post-train test-set eval."""
+import glob
+import os
+
+import numpy as np
+
+from anoddpm_tpu.config import defaultdict_from_json
+
+
+def test_train_recipe_smoke(tmp_path):
+    from anoddpm_tpu.train import train
+
+    args = defaultdict_from_json({
+        "arg_num": "smoketrain",
+        "img_size": [32, 32],
+        "Batch_Size": 2,
+        "EPOCHS": 50,
+        "T": 10,
+        "base_channels": 32,
+        "channel_mults": [1, 2],
+        "attention_resolutions": "16",
+        "beta_schedule": "cosine",
+        "loss-type": "l2",
+        "lr": 1e-4,
+        "sample_distance": 8,
+        "train_start": True,
+        "noise_fn": "gauss",
+        "dataset": "synthetic",
+        "iters_per_epoch": 1,
+        "save_imgs": True,
+        "save_vids": False,
+        "seed": 0,
+    })
+    root = str(tmp_path)
+    state = train(args, root_dir=root, max_epochs=50)
+    assert int(state.step) == 51  # epochs 0..50, 1 iter each
+
+    img_dir = os.path.join(root, "diffusion-training-images",
+                           "ARGS=smoketrain")
+    # epoch 0 -> %100 cadence: real/sample/pred_x_0 grid (sample_snapshot);
+    # epoch 50 -> alternate cadence: real/x_t/eps-hat/mse (training_snapshot)
+    assert os.path.exists(os.path.join(img_dir, "EPOCH=0.png"))
+    assert os.path.exists(os.path.join(img_dir, "EPOCH=50.png"))
+
+    assert os.path.exists(os.path.join(
+        root, "model", "diff-params-ARGS=smoketrain", "params-final",
+        "payload.msgpack"))
+    jsonl = os.path.join(root, "metrics", "argssmoketrain-train.jsonl")
+    assert os.path.exists(jsonl)
+    assert len(open(jsonl).read().strip().splitlines()) >= 5
+    # test-set eval artifact from the final testing() call
+    assert glob.glob(os.path.join(root, "metrics", "*smoketrain*test*")) or \
+        glob.glob(os.path.join(root, "metrics", "argssmoketrain*.json"))
