@@ -98,7 +98,10 @@ def prefetch_to_device(it: Iterator, size: int = 2, mesh=None,
         while True:
             group = []
             for _ in range(substeps):
-                group.append(next(it))
+                try:
+                    group.append(next(it))
+                except StopIteration:
+                    return  # source exhausted mid-group: drop the partial
             batch: Dict[str, object] = {}
             for k in group[0]:
                 vals = [g[k] for g in group]
@@ -114,8 +117,6 @@ def prefetch_to_device(it: Iterator, size: int = 2, mesh=None,
         try:
             for item in source:
                 q.put(place(item))
-        except StopIteration:
-            pass
         finally:
             q.put(sentinel)
 

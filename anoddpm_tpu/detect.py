@@ -289,8 +289,11 @@ def anomalous_validation(args=None, root_dir: str = ".",
       (detection.py:115-140; the reference's randParam branch indexes with
       the `slice` builtin — a latent bug — we use the loop slice).
 
-    Slices of one volume are evaluated as ONE device batch; videos/figures
-    are still written per slice to keep the reference's artifact tree.
+    Slices run one-by-one (each gets its own random timestep, as in the
+    reference); the timestep is quantised to a 50-step grid so each unique
+    chain length traces+compiles ONCE per run instead of per slice (the
+    reference draws any int, detection.py:75-79 — harmless eagerly, a fresh
+    XLA program per slice under jit).
     Returns the per-slice heatmap dice list (detection.py:105-140 dice_data).
     """
     if args is None:
@@ -304,6 +307,17 @@ def anomalous_validation(args=None, root_dir: str = ".",
     n = len(d_set) if max_volumes is None else min(len(d_set), max_volumes)
     sample_distance = int(args.get("sample_distance") or sched.num_timesteps)
     lo, hi = ((0.3, 0.8) if noise_kind == "gauss" else (0.1, 0.6))
+    quantum = 50 if sample_distance >= 100 else 1
+    fb_cache = {}
+
+    def fb_for(td):
+        if td not in fb_cache:
+            fb_cache[td] = jit_with_params(em, lambda mf: lambda xx, k:
+                dmod.forward_backward(mf, sched, xx, td, k,
+                                      noise_sampler=noise_sampler,
+                                      see_whole_sequence="whole"))
+        return fb_cache[td]
+
     dice_data = []
     start = time.time()
     for i in range(n):
@@ -323,14 +337,11 @@ def anomalous_validation(args=None, root_dir: str = ".",
             timestep = int(jax.random.randint(
                 k_t, (), int(sample_distance * lo),
                 max(int(sample_distance * hi), int(sample_distance * lo) + 1)))
-            # clamp to [1, T]: t=0 is a no-op chain (only reachable with the
-            # tiny schedules used in tests; the reference's 800-step
-            # sample_distance never draws it)
-            timestep = max(1, min(timestep, sched.num_timesteps))
-            recon, frames = jit_with_params(em, lambda mf: lambda xx, k:
-                dmod.forward_backward(mf, sched, xx, timestep, k,
-                                      noise_sampler=noise_sampler,
-                                      see_whole_sequence="whole"))(x, k1)
+            # quantise to the compile grid, clamp to [1, T] (t=0 is a no-op
+            # chain, only reachable with the tiny schedules used in tests)
+            timestep = round(timestep / quantum) * quantum
+            timestep = max(quantum, min(timestep, sched.num_timesteps))
+            recon, frames = fb_for(timestep)(x, k1)
             out_name = os.path.join(vol_dir, str(slice_ids[s]),
                                     f"t={timestep}")
             vz.save_video(out_name + ".mp4", list(np.asarray(frames)))
@@ -405,7 +416,10 @@ def sharded_anomalous_metrics(args, em, sched, mesh, root_dir: str = ".",
         block = images[start:start + chunk]
         pad = chunk - block.shape[0]
         if pad:  # wrap-pad so every dispatch shares one compiled program
-            block = np.concatenate([block, images[:pad]])
+            # np.resize cycles whole slices (row-major), so this also covers
+            # pad > n_slices (tiny sets on a wide mesh)
+            block = np.concatenate(
+                [block, np.resize(images, (pad,) + images.shape[1:])])
         x = jax.device_put(jnp.asarray(block), batch_sharding(mesh, 4))
         recon, _ = fb(em.params, x, jax.random.key(17 + start))
         recons.append(np.asarray(recon)[:chunk - pad or None])

@@ -81,13 +81,19 @@ def _whole_sequence(args, em, sched, x, t_distance: int, key,
     return np.asarray(recon), full
 
 
-def _sequence_row(frames, prediction, mask, n_fwd: int = 6):
-    """One filmstrip row (generate_images.py:48-68): `n_fwd` frames evenly
-    spaced over the forward half, n_fwd-1 frames mirrored from the end of
-    the reverse half, then prediction and ground-truth mask."""
-    fwd_idx = np.linspace(0, len(frames) // 2, n_fwd).astype(int)
+def _mirror_indices(n_frames: int, n_fwd: int) -> np.ndarray:
+    """Filmstrip frame indices (generate_images.py:48-68): `n_fwd` frames
+    evenly spaced over the forward half, n_fwd-1 mirrored from the end of
+    the reverse half."""
+    fwd_idx = np.linspace(0, n_frames // 2, n_fwd).astype(int)
     bwd_idx = (-1 * fwd_idx[-2::-1]) - 1
-    idxs = np.append(fwd_idx, bwd_idx)
+    return np.append(fwd_idx, bwd_idx)
+
+
+def _sequence_row(frames, prediction, mask, n_fwd: int = 6):
+    """One filmstrip row: mirrored frames, then prediction and ground-truth
+    mask."""
+    idxs = _mirror_indices(len(frames), n_fwd)
     panels = [frames[i] for i in idxs] + [prediction, mask]
     return np.concatenate(panels, axis=0), len(panels)
 
@@ -172,9 +178,7 @@ def test_set_outputs(simplex_token, gauss_token, root_dir: str = ".",
                                           jax.random.key(attempt * 31 + r),
                                           sampler=sampler)
                 sequences.append(full)
-        fwd_idx = np.linspace(0, len(sequences[0]) // 2, 4).astype(int)
-        bwd_idx = (-1 * fwd_idx[-2::-1]) - 1
-        idxs = np.append(fwd_idx, bwd_idx)
+        idxs = _mirror_indices(len(sequences[0]), n_fwd=4)
         grid = np.concatenate(
             [np.concatenate([seq[i] for i in idxs], axis=0)
              for seq in sequences], axis=0)

@@ -153,8 +153,10 @@ def batched_roc_auc(labels: np.ndarray, scores: np.ndarray) -> np.ndarray:
     p = l.sum(axis=1).astype(np.float64)
     n = l.shape[1] - p
     rank_sum = np.where(l, ranks, 0.0).sum(axis=1)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        return (rank_sum - p * (p + 1) / 2) / (p * n)
+    # degenerate all-negative/all-positive masks: match the scalar path
+    # (roc_curve clamps P/N at 1e-12 -> AUC 0.0), never NaN
+    return ((rank_sum - p * (p + 1) / 2)
+            / (np.maximum(p, 1e-12) * np.maximum(n, 1e-12)))
 
 
 def batched_ssim(real: np.ndarray, recon: np.ndarray,

@@ -104,3 +104,19 @@ def test_prefetch_to_device():
     it = prefetch_to_device(batch_iterator(ds, 2, shuffle=False), size=2)
     batches = [next(it) for _ in range(3)]
     assert all(b["image"].shape == (2, 16, 16, 1) for b in batches)
+
+
+def test_prefetch_substeps_finite_source_ends_gracefully():
+    """A finite source exhausting mid-group must terminate the prefetcher
+    cleanly (PEP 479: StopIteration inside the stacking generator), dropping
+    the partial group."""
+    ds = SyntheticMRIDataset(img_size=(16, 16), length=8)
+
+    def finite():
+        it = batch_iterator(ds, 2, shuffle=False)
+        for _ in range(5):   # 5 batches; substeps=2 -> 2 groups + 1 partial
+            yield next(it)
+
+    out = list(prefetch_to_device(finite(), substeps=2))
+    assert len(out) == 2
+    assert all(b["image"].shape == (2, 2, 16, 16, 1) for b in out)

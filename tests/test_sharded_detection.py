@@ -117,3 +117,19 @@ def test_batched_metrics_match_scalar_oracle():
                                    M.recall(mask[i], pred), atol=1e-8)
         np.testing.assert_allclose(out["fpr"][i], M.fpr(mask[i], pred),
                                    atol=1e-8)
+
+
+def test_batched_auc_degenerate_mask_no_nan():
+    """All-negative (and all-positive) masks must yield 0.0 like the scalar
+    roc_curve path (P/N clamped), never NaN-poison the summary."""
+    from anoddpm_tpu import metrics as M
+    rng = np.random.default_rng(1)
+    scores = rng.uniform(0, 1, (3, 8, 8, 1))
+    mask = np.zeros((3, 8, 8, 1))
+    mask[1, 2:4, 2:4] = 1.0   # slice 1 normal, slices 0/2 lesion-free
+    out = M.batched_roc_auc(mask.astype(np.uint8), scores)
+    assert np.isfinite(out).all()
+    assert out[0] == 0.0 and out[2] == 0.0
+    np.testing.assert_allclose(
+        out[1], M.roc_auc_score(mask[1].astype(np.uint8), scores[1]),
+        atol=1e-12)
