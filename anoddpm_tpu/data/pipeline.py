@@ -64,12 +64,14 @@ def prefetch_to_device(it: Iterator, size: int = 2, mesh=None,
     sharding when a mesh is given.
 
     With ``substeps > 1``, each yielded batch stacks that many consecutive
-    batches along a new LEADING axis — ``image`` becomes
-    ``(substeps, B, H, W, C)`` — stacked and device_put on the producer
-    thread with the per-step batch axis (axis 1) sharded over 'data', so the
-    fused multi-step trainer (training.py:make_multi_step) dispatches one
-    already-resident chunk instead of stalling the step loop on host-side
-    ``jnp.stack`` (the round-1 ingest bottleneck)."""
+    batches along a new LEADING axis: every ndarray value becomes
+    ``(substeps, B, ...)`` (so masks stay aligned with images), and every
+    non-array value becomes the list of the per-substep values.  ``keys``
+    are stacked and device_put on the producer thread with the per-step
+    batch axis (axis 1) sharded over 'data', so the fused multi-step trainer
+    (training.py:make_multi_step) dispatches one already-resident chunk
+    instead of stalling the step loop on host-side ``jnp.stack`` (the
+    round-1 ingest bottleneck)."""
     import jax
     q: "queue.Queue" = queue.Queue(maxsize=size)
     sentinel = object()
@@ -105,10 +107,14 @@ def prefetch_to_device(it: Iterator, size: int = 2, mesh=None,
             batch: Dict[str, object] = {}
             for k in group[0]:
                 vals = [g[k] for g in group]
-                if k in keys and isinstance(vals[0], np.ndarray):
+                if isinstance(vals[0], np.ndarray):
+                    # every array key gains the leading substep axis so it
+                    # stays aligned with 'image' (masks etc.)
                     batch[k] = np.stack(vals)
                 else:
-                    batch[k] = vals[-1]
+                    # non-array keys (filenames, slice ids): the per-substep
+                    # list-of-values, NOT just the last group's
+                    batch[k] = vals
             yield batch
 
     source = stack_substeps() if substeps > 1 else it

@@ -76,22 +76,13 @@ def evaluate_anomaly_batch(em, sched, images, masks, key,
                                   denoise_sampler=noise_sampler))
     recon, _ = fb_jit(jnp.asarray(images), key)
     recon = np.asarray(recon)
-    images = np.asarray(images)
-    masks = np.asarray(masks)
 
-    out = {k: [] for k in ("dice", "ssim", "iou", "precision", "recall",
-                           "fpr", "auc")}
-    for s in range(images.shape[0]):
-        img, rec, msk = images[s], recon[s], masks[s]
-        mse_raw = M.square_error(img, rec)
-        pred = (mse_raw > 0.5).astype(np.float32)
-        out["auc"].append(M.roc_auc_score(msk.astype(np.uint8), mse_raw))
-        out["dice"].append(M.dice_coeff(img, rec, msk, mse=pred))
-        out["ssim"].append(M.ssim(img, rec, channel_axis=2))
-        out["precision"].append(M.precision(msk, pred))
-        out["recall"].append(M.recall(msk, pred))
-        out["iou"].append(M.iou(msk, pred))
-        out["fpr"].append(M.fpr(msk, pred))
+    # one vectorised pass over all slices (oracle-tested equivalent of the
+    # scalar per-slice metric functions; also used by the sharded path)
+    batched = M.batched_anomaly_metrics(images, recon, masks)
+    out = {k: [float(v) for v in batched[k]]
+           for k in ("dice", "ssim", "iou", "precision", "recall",
+                     "fpr", "auc")}
     return out, recon
 
 

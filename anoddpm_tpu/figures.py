@@ -68,15 +68,25 @@ def make_prediction(real, recon, mask, x_t, threshold: float = 0.5,
     return panels, pred
 
 
-def _whole_sequence(args, em, sched, x, t_distance: int, key,
-                    sampler=None):
-    """Run "whole"-capture forward_backward and prepend x_0, matching the
-    reference's seq list (x_0, forward..x_lambda, reverse..x_0')."""
-    sampler = sampler or sampler_from_args(args)
-    recon, frames = jit_with_params(em, lambda mf: lambda xx, k:
+def _make_whole_fb(em, sched, t_distance: int, sampler):
+    """Jitted "whole"-capture forward_backward — build ONCE per
+    (model, t_distance) and reuse across rows/attempts: each jit_with_params
+    call owns a fresh compilation cache, so per-call construction would
+    recompile the full reverse chain every row."""
+    return jit_with_params(em, lambda mf: lambda xx, k:
         dmod.forward_backward(mf, sched, xx, t_distance, k,
                               noise_sampler=sampler,
-                              see_whole_sequence="whole"))(x, key)
+                              see_whole_sequence="whole"))
+
+
+def _whole_sequence(args, em, sched, x, t_distance: int, key,
+                    sampler=None, fb=None):
+    """Run "whole"-capture forward_backward and prepend x_0, matching the
+    reference's seq list (x_0, forward..x_lambda, reverse..x_0')."""
+    if fb is None:
+        fb = _make_whole_fb(em, sched, t_distance,
+                            sampler or sampler_from_args(args))
+    recon, frames = fb(x, key)
     full = np.concatenate([np.asarray(x)[None], np.asarray(frames)])
     return np.asarray(recon), full
 
@@ -113,6 +123,7 @@ def ano_outputs(args, em, sched, root_dir: str = ".", n_attempts: int = 3,
     td = max(1, min(t_distance, sched.num_timesteps))
     out_dir = os.path.join(_out_dir(root_dir), f"ARGS={args['arg_num']}")
     os.makedirs(out_dir, exist_ok=True)
+    fb = _make_whole_fb(em, sched, td, sampler_from_args(args))
     for attempt in range(n_attempts):
         pred_rows, seq_rows = [], []
         n_cols = 13
@@ -121,7 +132,8 @@ def ano_outputs(args, em, sched, root_dir: str = ".", n_attempts: int = 3,
             mask_panel = (mask if mask is not None
                           else np.zeros(np.asarray(x).shape, np.float32))
             recon, full = _whole_sequence(args, em, sched, x, td,
-                                          jax.random.key(attempt * 97 + r))
+                                          jax.random.key(attempt * 97 + r),
+                                          fb=fb)
             panels, pred = make_prediction(np.asarray(x), recon, mask_panel,
                                            full[max(td // 2, 1)], threshold)
             pred_rows.append(panels)
@@ -167,16 +179,18 @@ def test_set_outputs(simplex_token, gauss_token, root_dir: str = ".",
         def get_image(i):
             return jnp.asarray(d_set[i % len(d_set)]["image"][None])
 
+    fbs = {tag: _make_whole_fb(em, sched, td, sampler_from_args(args_m))
+           for args_m, em, sched, tag in ((args_s, em_s, sched_s, "simplex"),
+                                          (args_g, em_g, sched_g, "gauss"))}
     for attempt in range(n_attempts):
         imgs = [get_image(attempt * rows + r) for r in range(rows)]
         sequences = []
         for args_m, em, sched, tag in ((args_s, em_s, sched_s, "simplex"),
                                        (args_g, em_g, sched_g, "gauss")):
-            sampler = sampler_from_args(args_m)
             for r, x in enumerate(imgs):
                 _, full = _whole_sequence(args_m, em, sched, x, td,
                                           jax.random.key(attempt * 31 + r),
-                                          sampler=sampler)
+                                          fb=fbs[tag])
                 sequences.append(full)
         idxs = _mirror_indices(len(sequences[0]), n_fwd=4)
         grid = np.concatenate(

@@ -46,10 +46,21 @@ def timestep_embedding(t: jax.Array, dim: int, scale: float = 1.0) -> jax.Array:
 
 
 class GroupNorm32(nn.Module):
-    """GroupNorm(32) computed in fp32 regardless of activation dtype
-    (UNet.py:409-411)."""
+    """GroupNorm(32), by default computed in fp32 regardless of activation
+    dtype (UNet.py:409-411).
+
+    bf16_path=True keeps the elementwise normalise/scale math in the
+    activation dtype (flax still accumulates the mean/variance statistics in
+    fp32 internally), eliminating the bf16<->fp32 cast round-trips that the
+    train-step trace shows around every norm (BENCHNOTES.md trace table) at
+    a tiny precision cost."""
+    bf16_path: bool = False
+
     @nn.compact
     def __call__(self, x):
+        if self.bf16_path:
+            return nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=x.dtype,
+                                param_dtype=jnp.float32)(x)
         h = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=jnp.float32,
                          param_dtype=jnp.float32)(x.astype(jnp.float32))
         return h.astype(x.dtype)
@@ -74,6 +85,7 @@ class ResBlock(nn.Module):
     down: bool = False
     use_conv_skip: bool = False
     dtype: jnp.dtype = jnp.float32
+    bf16_norm: bool = False
 
     @nn.compact
     def __call__(self, x, emb, *, deterministic: bool = True):
@@ -85,7 +97,7 @@ class ResBlock(nn.Module):
             param_dtype=jnp.float32, kernel_init=nn.initializers.zeros,
             bias_init=nn.initializers.zeros, name=name)
 
-        h = nn.silu(GroupNorm32(name="norm_in")(x))
+        h = nn.silu(GroupNorm32(bf16_path=self.bf16_norm, name="norm_in")(x))
         if self.up:
             h = _nearest_up2(h)
             x = _nearest_up2(x)
@@ -99,7 +111,8 @@ class ResBlock(nn.Module):
                            name="emb_proj")(nn.silu(emb)).astype(h.dtype)
         h = h + emb_out[:, None, None, :]
 
-        h = nn.silu(GroupNorm32(name="norm_out")(h))
+        h = nn.silu(GroupNorm32(bf16_path=self.bf16_norm,
+                                name="norm_out")(h))
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = zero_conv(self.out_channels, (3, 3), "conv_out")(h)
 
@@ -116,6 +129,7 @@ class AttentionBlock(nn.Module):
     n_heads: int = 1
     n_head_channels: int = -1
     dtype: jnp.dtype = jnp.float32
+    bf16_norm: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -129,7 +143,8 @@ class AttentionBlock(nn.Module):
             heads = c // self.n_head_channels
         ch = c // heads
 
-        h = GroupNorm32(name="norm")(x).reshape(b, hgt * wid, c)
+        h = GroupNorm32(bf16_path=self.bf16_norm,
+                        name="norm")(x).reshape(b, hgt * wid, c)
         qkv = nn.Dense(3 * c, dtype=self.dtype, param_dtype=jnp.float32,
                        name="qkv")(h)
         qkv = qkv.reshape(b, hgt * wid, heads, 3 * ch)
@@ -173,6 +188,10 @@ class UNet(nn.Module):
     # small base widths).
     space_to_depth: int = 1
     dtype: jnp.dtype = jnp.float32
+    # keep GroupNorm's elementwise path in the activation dtype (statistics
+    # still accumulate fp32); config key "bf16_norm" — perf knob, off by
+    # default for reference-parity numerics
+    bf16_norm: bool = False
 
     def _effective_size(self) -> int:
         return self.img_size // self.space_to_depth
@@ -218,10 +237,11 @@ class UNet(nn.Module):
         skips = [h]
 
         rb = lambda out_ch, name, **kw: ResBlock(
-            out_channels=out_ch, dropout=self.dropout, dtype=cdt, name=name, **kw)
+            out_channels=out_ch, dropout=self.dropout, dtype=cdt,
+            bf16_norm=self.bf16_norm, name=name, **kw)
         attn = lambda name: AttentionBlock(
             n_heads=self.n_heads, n_head_channels=self.n_head_channels,
-            dtype=cdt, name=name)
+            dtype=cdt, bf16_norm=self.bf16_norm, name=name)
 
         # --- down path ---
         ds = 1
@@ -271,7 +291,8 @@ class UNet(nn.Module):
         assert not skips
 
         h = h.astype(in_dtype)
-        h = nn.silu(GroupNorm32(name="out_norm")(h))
+        h = nn.silu(GroupNorm32(bf16_path=self.bf16_norm,
+                                name="out_norm")(h))
         out_feats = self.in_channels * s2d * s2d
         h = nn.Conv(out_feats, (3, 3), padding="SAME",
                     dtype=jnp.float32, param_dtype=jnp.float32,
@@ -310,5 +331,6 @@ def unet_from_args(args, in_channels: int, dtype=None) -> UNet:
         n_heads=int(args.get("num_heads", 1) or 1),
         n_head_channels=int(args.get("num_head_channels", -1) or -1),
         space_to_depth=int(args.get("space_to_depth", 1) or 1),
+        bf16_norm=bool(args.get("bf16_norm")),
         dtype=dtype,
     )

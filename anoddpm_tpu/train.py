@@ -107,6 +107,7 @@ def train(args, root_dir: str = ".", resume: Optional[str] = None,
 
     vlb_fn = None
     snap_fn = None
+    xt_fn = None
     start_time = time.time()
     losses = []
     vlb_log = []
@@ -114,97 +115,115 @@ def train(args, root_dir: str = ".", resume: Optional[str] = None,
     timer = StepTimer()
     prof = ProfileWindow(f"train-args{args['arg_num']}")
 
-    for epoch in range(start_epoch, epochs + 1):
-        prof.start_epoch(epoch - start_epoch)
-        epoch_losses = []
-        for i in range(max(iters_per_epoch // substeps, 1)):
-            batch = next(loader)
-            x = batch["image"]
-            x_vis = x[-1] if substeps > 1 else x
-            state, metrics = train_step(state, x, key)
-            timer.tick()
-            epoch_losses.append(metrics["loss"])
+    try:
+        for epoch in range(start_epoch, epochs + 1):
+            prof.start_epoch(epoch - start_epoch)
+            epoch_losses = []
+            for i in range(max(iters_per_epoch // substeps, 1)):
+                batch = next(loader)
+                x = batch["image"]
+                x_vis = x[-1] if substeps > 1 else x
+                state, metrics = train_step(state, x, key)
+                timer.tick()
+                epoch_losses.append(metrics["loss"])
 
-            if epoch % 50 == 0 and i == 0 and args.get("save_imgs"):
-                out_path = (f"{root_dir}/diffusion-training-images/"
-                            f"ARGS={args['arg_num']}/EPOCH={epoch}.png")
-                if epoch % 100 == 0:
-                    # real / sample / pred_x_0 grid from ONE EMA reverse step
-                    # at a random t (diffusion_training.py:211-221; the
-                    # reference q-jumps with torch.rand_like — uniform noise,
-                    # a quirk we normalise to the training noise sampler)
-                    if snap_fn is None:
-                        def _snap(params, xx, k):
-                            tk, nk, sk = jax.random.split(k, 3)
-                            tt = dmod.sample_timesteps(
-                                tk, xx.shape[0], sched.num_timesteps)
-                            x_t = dmod.sample_q(
-                                sched, xx, tt, noise_sampler(nk, xx.shape, tt))
-                            mf = lambda a, b: model.apply(params, a, b)
-                            return dmod.sample_p(mf, sched, x_t, tt, sk)
-                        snap_fn = jax.jit(_snap)
-                    key, sub = jax.random.split(key)
-                    sample, pred_x0 = snap_fn(state.ema_params,
-                                              jnp.asarray(x_vis), sub)
-                    vz.sample_snapshot(out_path, np.asarray(x_vis),
-                                       np.asarray(sample),
-                                       np.asarray(pred_x0), epoch)
-                elif "x_t" in metrics:
-                    vz.training_snapshot(out_path, np.asarray(x_vis),
-                                         np.asarray(metrics["x_t"]),
-                                         np.asarray(metrics["estimate"]),
-                                         epoch)
+                if epoch % 50 == 0 and i == 0 and args.get("save_imgs"):
+                    out_path = (f"{root_dir}/diffusion-training-images/"
+                                f"ARGS={args['arg_num']}/EPOCH={epoch}.png")
+                    if epoch % 100 == 0:
+                        # real / sample / pred_x_0 grid from ONE EMA reverse step
+                        # at a random t (diffusion_training.py:211-221; the
+                        # reference q-jumps with torch.rand_like — uniform noise,
+                        # a quirk we normalise to the training noise sampler)
+                        if snap_fn is None:
+                            def _snap(params, xx, k):
+                                tk, nk, sk = jax.random.split(k, 3)
+                                tt = dmod.sample_timesteps(
+                                    tk, xx.shape[0], sched.num_timesteps)
+                                x_t = dmod.sample_q(
+                                    sched, xx, tt, noise_sampler(nk, xx.shape, tt))
+                                mf = lambda a, b: model.apply(params, a, b)
+                                return dmod.sample_p(mf, sched, x_t, tt, sk)
+                            snap_fn = jax.jit(_snap)
+                        key, sub = jax.random.split(key)
+                        sample, pred_x0 = snap_fn(state.ema_params,
+                                                  jnp.asarray(x_vis), sub)
+                        vz.sample_snapshot(out_path, np.asarray(x_vis),
+                                           np.asarray(sample),
+                                           np.asarray(pred_x0), epoch)
+                    else:
+                        # real / x_t / eps-hat / sq-err grid
+                        # (diffusion_training.py:224-235).  Recomputed on demand
+                        # from the current batch — the train step does not ship
+                        # x_t/estimate back through its metrics (HBM + gather
+                        # cost every step for an every-50-epochs artifact).
+                        if xt_fn is None:
+                            def _xt(params, xx, k):
+                                tk, nk = jax.random.split(k)
+                                tt = dmod.sample_timesteps(tk, xx.shape[0], max_t)
+                                x_t = dmod.sample_q(
+                                    sched, xx, tt, noise_sampler(nk, xx.shape, tt))
+                                return x_t, model.apply(params, x_t, tt)
+                            xt_fn = jax.jit(_xt)
+                        key, sub = jax.random.split(key)
+                        x_t, est = xt_fn(state.params, jnp.asarray(x_vis), sub)
+                        vz.training_snapshot(out_path, np.asarray(x_vis),
+                                             np.asarray(x_t), np.asarray(est),
+                                             epoch)
 
-        prof.end_epoch(epoch - start_epoch)
-        losses.append(float(jnp.mean(jnp.stack(epoch_losses))))
-        if epoch % 10 == 0:
-            mlog.log(int(state.step), epoch=epoch, loss=losses[-1],
-                     grad_norm=metrics["grad_norm"],
-                     imgs_per_sec=(batch_size * substeps / timer.mean
-                                   if timer.mean == timer.mean else 0.0))
+            prof.end_epoch(epoch - start_epoch)
+            losses.append(float(jnp.mean(jnp.stack(epoch_losses))))
+            if epoch % 10 == 0:
+                mlog.log(int(state.step), epoch=epoch, loss=losses[-1],
+                         grad_norm=metrics["grad_norm"],
+                         imgs_per_sec=(batch_size * substeps / timer.mean
+                                       if timer.mean == timer.mean else 0.0))
 
-        if epoch % 200 == 0:
-            if vlb_fn is None:
-                vlb_fn = jax.jit(
-                    lambda params, x, k: dmod.calc_total_vlb(
-                        make_eval_model_fn(model, params), sched, x, k))
-            key, sub = jax.random.split(key)
-            vlb_terms = vlb_fn(state.params, jnp.asarray(x_vis), sub)
-            vlb_log.append(float(jnp.mean(vlb_terms["total_vlb"])))
-            elapsed = time.time() - start_time
-            done = epoch + 1 - start_epoch
-            eta = (epochs - epoch) * (elapsed / done)
-            print(f"epoch: {epoch}, loss: {losses[-1]:.5f}, "
-                  f"total VLB: {vlb_log[-1]:.4f} "
-                  f"(mean of last 10: {np.mean(vlb_log[-10:]):.4f}), "
-                  f"prior vlb: {float(jnp.mean(vlb_terms['prior_vlb'])):.2f}, "
-                  f"vb: {float(jnp.mean(vlb_terms['vb'])):.3f}, "
-                  f"x_0_mse: {float(jnp.mean(vlb_terms['x_0_mse'])):.3f}, "
-                  f"mse: {float(jnp.mean(vlb_terms['mse'])):.3f}, "
-                  f"elapsed {elapsed:.0f}s, eta {eta:.0f}s", flush=True)
+            if epoch % 200 == 0:
+                if vlb_fn is None:
+                    vlb_fn = jax.jit(
+                        lambda params, x, k: dmod.calc_total_vlb(
+                            make_eval_model_fn(model, params), sched, x, k))
+                key, sub = jax.random.split(key)
+                vlb_terms = vlb_fn(state.params, jnp.asarray(x_vis), sub)
+                vlb_log.append(float(jnp.mean(vlb_terms["total_vlb"])))
+                elapsed = time.time() - start_time
+                done = epoch + 1 - start_epoch
+                eta = (epochs - epoch) * (elapsed / done)
+                print(f"epoch: {epoch}, loss: {losses[-1]:.5f}, "
+                      f"total VLB: {vlb_log[-1]:.4f} "
+                      f"(mean of last 10: {np.mean(vlb_log[-10:]):.4f}), "
+                      f"prior vlb: {float(jnp.mean(vlb_terms['prior_vlb'])):.2f}, "
+                      f"vb: {float(jnp.mean(vlb_terms['vb'])):.3f}, "
+                      f"x_0_mse: {float(jnp.mean(vlb_terms['x_0_mse'])):.3f}, "
+                      f"mse: {float(jnp.mean(vlb_terms['mse'])):.3f}, "
+                      f"elapsed {elapsed:.0f}s, eta {eta:.0f}s", flush=True)
 
-        if epoch % checkpoint_every == 0 and epoch > start_epoch:
-            save_checkpoint(root_dir, args, epoch, state.params,
-                            state.ema_params, state.opt_state,
-                            loss=losses[-1])
+            if epoch % checkpoint_every == 0 and epoch > start_epoch:
+                save_checkpoint(root_dir, args, epoch, state.params,
+                                state.ema_params, state.opt_state,
+                                loss=losses[-1])
 
-        if (epoch % 500 == 0 and args.get("save_vids")
-                and epoch > start_epoch):
-            key, sub = jax.random.split(key)
-            lam = int(args["sample_distance"]) // (2 if epoch % 1000 == 0 else 4)
-            em = EvalModel(model, state.ema_params)
-            _, frames = jit_with_params(em, lambda mf: lambda x, k:
-                dmod.forward_backward(mf, sched, x, lam, k,
-                                      noise_sampler=noise_sampler,
-                                      see_whole_sequence="half"))(
-                jnp.asarray(x_vis), sub)
-            vz.save_video(
-                f"{root_dir}/diffusion-videos/ARGS={args['arg_num']}/"
-                f"sample-EPOCH={epoch}.mp4",
-                list(np.asarray(frames)), row_size=min(8, batch_size))
+            if (epoch % 500 == 0 and args.get("save_vids")
+                    and epoch > start_epoch):
+                key, sub = jax.random.split(key)
+                lam = int(args["sample_distance"]) // (2 if epoch % 1000 == 0 else 4)
+                em = EvalModel(model, state.ema_params)
+                _, frames = jit_with_params(em, lambda mf: lambda x, k:
+                    dmod.forward_backward(mf, sched, x, lam, k,
+                                          noise_sampler=noise_sampler,
+                                          see_whole_sequence="half"))(
+                    jnp.asarray(x_vis), sub)
+                vz.save_video(
+                    f"{root_dir}/diffusion-videos/ARGS={args['arg_num']}/"
+                    f"sample-EPOCH={epoch}.mp4",
+                    list(np.asarray(frames)), row_size=min(8, batch_size))
 
-    prof.stop()
-    mlog.close()
+    finally:
+        # profiler state is process-global: always close the trace and
+        # the metrics log, even when the epoch loop unwinds on an error
+        prof.stop()
+        mlog.close()
     save_checkpoint(root_dir, args, epochs, state.params, state.ema_params,
                     state.opt_state, final=True)
     purge_checkpoints(root_dir, args["arg_num"])

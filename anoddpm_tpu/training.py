@@ -97,11 +97,10 @@ def make_train_step(model, sched: Schedule, tx: optax.GradientTransformation,
         new_ema = ema_update(state.ema_params, new_params, ema_decay)
         new_state = TrainState(step=state.step + 1, params=new_params,
                                ema_params=new_ema, opt_state=new_opt_state)
+        del aux  # x_t/estimate stay on-device; snapshots recompute on demand
         metrics = {
             "loss": loss,
             "grad_norm": optax.global_norm(grads),
-            "x_t": aux["x_t"],
-            "estimate": aux["estimate"],
         }
         return new_state, metrics
 
@@ -113,8 +112,7 @@ def make_multi_step(train_step: Callable, substeps: int) -> Callable:
 
     The batch must carry a leading substep axis: (substeps, B, H, W, C).
     Amortises host->device dispatch overhead (significant for small models
-    and high-latency runtimes); metrics are averaged over the substeps
-    except x_t/estimate which report the last substep.
+    and high-latency runtimes); metrics are averaged over the substeps.
     """
     def multi_step(state: TrainState, batches: jax.Array, key: jax.Array):
         def body(carry, batch):

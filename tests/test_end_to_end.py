@@ -214,6 +214,15 @@ def test_multi_substep_prefetch_on_mesh(setup):
     assert x.shape == (substeps, 8, IMG, IMG, 1)
     # leading substep axis replicated, per-step batch axis sharded over data
     assert x.sharding.spec[0] is None and x.sharding.spec[1] == "data"
+    # auxiliary keys stay ALIGNED with the stacked images: array values gain
+    # the same substep axis, non-array values keep one entry per substep
+    for k, v in batch.items():
+        if k == "image":
+            continue
+        if isinstance(v, np.ndarray):
+            assert v.shape[0] == substeps
+        else:
+            assert len(v) == substeps
     state2, metrics = step(state, x, jax.random.key(5))
     assert int(state2.step) == substeps
     assert np.isfinite(float(metrics["loss"]))

@@ -109,3 +109,25 @@ def test_space_to_depth_shapes_and_invertibility():
     out = jax.jit(model.apply)(params, x, t)
     assert np.isfinite(np.asarray(out)).all()
     assert np.abs(np.asarray(out)).max() > 0
+
+
+def test_bf16_norm_tracks_fp32_norm():
+    """The bf16_norm perf knob (GroupNorm elementwise path in activation
+    dtype, fp32 statistics) must keep the same parameter tree and produce
+    outputs close to the default fp32-norm path."""
+    kw = dict(img_size=32, base_channels=32, in_channels=1,
+              dtype=jnp.bfloat16)
+    ref = UNet(**kw)
+    fast = UNet(bf16_norm=True, **kw)
+    x = jax.random.normal(jax.random.key(2), (2, 32, 32, 1))
+    t = jnp.array([1, 9], jnp.int32)
+    params = ref.init(jax.random.key(0), x, t)
+    # same param structure => checkpoints are interchangeable across the knob
+    jax.tree_util.tree_map(lambda a, b: None, params,
+                           jax.eval_shape(lambda: fast.init(
+                               jax.random.key(0), x, t)))
+    params = jax.tree_util.tree_map(lambda p: p + 0.02, params)
+    out_ref = np.asarray(ref.apply(params, x, t), np.float32)
+    out_fast = np.asarray(fast.apply(params, x, t), np.float32)
+    scale = np.abs(out_ref).mean() + 1e-6
+    assert np.abs(out_fast - out_ref).mean() / scale < 0.05
