@@ -42,7 +42,11 @@ def run_bench(batch: int, t_distance: int = 250, img: int = 256,
     sched = make_schedule(get_beta_schedule(1000, "linear"))
     model = UNet(img_size=img, base_channels=base_channels, in_channels=1,
                  attention_resolutions="16,8", n_heads=2,
-                 space_to_depth=space_to_depth, dtype=jnp.bfloat16)
+                 space_to_depth=space_to_depth,
+                 # bf16 GroupNorm elementwise path: +6% inference / +13%
+                 # train at AUC/Dice parity (results/bf16_norm_ab.json)
+                 bf16_norm=os.environ.get("BENCH_BF16_NORM", "1") == "1",
+                 dtype=jnp.bfloat16)
     x = jnp.zeros((batch, img, img, 1))
     t = jnp.zeros((batch,), jnp.int32)
     params = jax.jit(model.init)(jax.random.key(0), x, t)
@@ -94,7 +98,9 @@ def run_train_bench(batch: int = 8, img: int = 256, base_channels: int = 128,
 
     model = UNet(img_size=img, base_channels=base_channels, in_channels=1,
                  attention_resolutions="16,8", n_heads=2,
-                 space_to_depth=space_to_depth, dtype=jnp.bfloat16)
+                 space_to_depth=space_to_depth,
+                 bf16_norm=os.environ.get("BENCH_BF16_NORM", "1") == "1",
+                 dtype=jnp.bfloat16)
     sched = make_schedule(get_beta_schedule(1000, "linear"))
     tx = make_optimizer(1e-4)
     state = jax.jit(lambda k: init_train_state(
