@@ -87,6 +87,23 @@ def simplex2d_noise(key: jax.Array, shape: Tuple[int, ...], t: jax.Array,
     return fields.reshape(b, c, h, w).transpose(0, 2, 3, 1)
 
 
+def simplex_volume_noise(key: jax.Array, shape_zhw: Tuple[int, int, int],
+                         octaves: int = 1, persistence: float = 0.5,
+                         frequency: float = 32.0) -> jax.Array:
+    """z-varying (Z, H, W) octave noise volume — the capability counterpart
+    of `rand_3d_octaves` (simplex.py:37-54), the reference noise class's
+    animated-volume surface.  Not called by any diffusion recipe (the
+    training/detection paths use the fixed-t plane), but part of the C8
+    public surface: e.g. generating temporally-coherent noise videos.
+
+    One fresh hash seed per call (the on-device analogue of `newSeed()`).
+    """
+    seed = sx.seeds_from_key(key, 1)[0]
+    return sx.fractal3_volume_hash(seed, tuple(shape_zhw), octaves=octaves,
+                                   persistence=persistence,
+                                   frequency=frequency)
+
+
 def simplex_rand_param_noise(key: jax.Array, shape: Tuple[int, ...],
                              t: jax.Array) -> jax.Array:
     """Simplex field with per-call random (octave, persistence, frequency)

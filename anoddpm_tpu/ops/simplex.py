@@ -623,6 +623,60 @@ def fractal3_fixed_t(perm: jax.Array, grad_id3: jax.Array, shape_hw: Tuple[int, 
     return out
 
 
+def fractal3_volume(perm: jax.Array, grad_id3: jax.Array,
+                    shape_zhw: Tuple[int, int, int], octaves: int = 1,
+                    persistence: float = 0.5, frequency: float = 32.0,
+                    dtype=jnp.float32) -> jax.Array:
+    """z-varying multi-octave 3D simplex volume (table-exact path).
+
+    Matches `rand_3d_octaves` (simplex.py:37-54): field[z, h, w] =
+    sum_o persistence^o * noise3(w * 2^o / freq, h * 2^o / freq,
+    z * 2^o / freq).  This is the one method of the reference noise
+    class's public surface whose z-coordinate is an AXIS of the output
+    rather than a fixed timestep plane — e.g. (T, H, W) animated noise
+    volumes.
+    """
+    z, h, w = shape_zhw
+    zz = jax.lax.broadcasted_iota(dtype, (z, h, w), 0)
+    yy = jax.lax.broadcasted_iota(dtype, (z, h, w), 1)
+    xx = jax.lax.broadcasted_iota(dtype, (z, h, w), 2)
+    out = jnp.zeros((z, h, w), dtype)
+    amplitude = 1.0
+    scale = 1.0 / frequency
+    for _ in range(int(octaves)):
+        out = out + amplitude * opensimplex3(
+            perm, grad_id3, xx * scale, yy * scale, zz * scale)
+        scale = scale * 2.0
+        amplitude = amplitude * persistence
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("shape_zhw", "octaves"))
+def fractal3_volume_hash(seed: jax.Array, shape_zhw: Tuple[int, int, int],
+                         octaves: int = 1, persistence: float = 0.5,
+                         frequency: float = 32.0,
+                         dtype=jnp.float32) -> jax.Array:
+    """Hash-path z-varying octave volume (`rand_3d_octaves`,
+    simplex.py:37-54) — gather-free counter-based lattice hash, the TPU
+    hot path for (T, H, W) noise volumes.  Octave mixer is a
+    `lax.fori_loop` for the same compile-size reason as
+    `fractal3_fixed_t_hash`."""
+    z, h, w = shape_zhw
+    zz = jax.lax.broadcasted_iota(dtype, (z, h, w), 0)
+    yy = jax.lax.broadcasted_iota(dtype, (z, h, w), 1)
+    xx = jax.lax.broadcasted_iota(dtype, (z, h, w), 2)
+
+    def body(o, acc):
+        of = o.astype(dtype)
+        scale = (2.0 ** of) / frequency
+        amp = persistence ** of
+        return acc + amp * opensimplex3_hash(seed, xx * scale, yy * scale,
+                                             zz * scale)
+
+    return jax.lax.fori_loop(0, int(octaves), body,
+                             jnp.zeros((z, h, w), dtype))
+
+
 def fractal3_fixed_t_hash(seed: jax.Array, shape_hw: Tuple[int, int], t,
                           octaves: int = 6, persistence: float = 0.8,
                           frequency: float = 64.0,

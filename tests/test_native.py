@@ -39,6 +39,33 @@ def test_native_octave_field_matches_golden(golden):
     np.testing.assert_allclose(field, g["field"][0], atol=1e-12)
 
 
+def test_native_oracle_vs_jax_volume_mixer():
+    """`fractal3_volume` (rand_3d_octaves, simplex.py:37-54) vs the C++
+    float64 oracle: mix octaves over the full (Z, H, W) grid in NumPy from
+    oracle noise3 values and compare to the JAX table path."""
+    import jax.numpy as jnp
+    from anoddpm_tpu.ops import simplex as sx
+    perm, gid = native.init_perm(31337)
+    Z, H, W = 4, 10, 12
+    zz, yy, xx = np.meshgrid(np.arange(Z), np.arange(H), np.arange(W),
+                             indexing="ij")
+    ref = np.zeros((Z, H, W))
+    amplitude, frequency = 1.0, 8.0
+    for _ in range(3):
+        vals = native.noise3_batch(xx.ravel() / frequency,
+                                   yy.ravel() / frequency,
+                                   zz.ravel() / frequency, perm, gid)
+        ref += amplitude * vals.reshape(Z, H, W)
+        frequency /= 2.0
+        amplitude *= 0.6
+    vol = np.asarray(sx.fractal3_volume(jnp.asarray(perm), jnp.asarray(gid),
+                                        (Z, H, W), octaves=3,
+                                        persistence=0.6, frequency=8.0))
+    err = np.abs(vol - ref)
+    assert np.median(err) < 1e-5
+    assert (err < 1e-3).mean() > 0.99, f"max err {err.max()}"
+
+
 def test_native_vs_jax_table_path():
     import jax.numpy as jnp
     from anoddpm_tpu.ops import simplex as sx

@@ -55,6 +55,50 @@ def test_octave_field_matches_reference(golden):
     assert (err < 1e-3).mean() > 0.99, f"max err {err.max()}"
 
 
+def test_volume_octaves_slice_consistency():
+    """`fractal3_volume` (rand_3d_octaves, simplex.py:37-54): each z-slice
+    of the volume must equal the fixed-t plane evaluated at t=z with the
+    same octave parameters — the volume is the z-stack of the planes."""
+    perm, gid = sx.perm_tables_from_seed(3)
+    vol = sx.fractal3_volume(perm, gid, (5, 12, 16), octaves=3,
+                             persistence=0.6, frequency=8.0)
+    assert vol.shape == (5, 12, 16)
+    for z in (0, 2, 4):
+        plane = sx.fractal3_fixed_t(perm, gid, (12, 16), float(z), octaves=3,
+                                    persistence=0.6, frequency=8.0)
+        np.testing.assert_allclose(np.asarray(vol[z]), np.asarray(plane),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_volume_hash_matches_fixed_t_hash_planes():
+    seed = jnp.uint32(99)
+    vol = sx.fractal3_volume_hash(seed, (4, 8, 8), octaves=2,
+                                  persistence=0.5, frequency=16.0)
+    for z in range(4):
+        plane = sx.fractal3_fixed_t_hash(seed, (8, 8), float(z), octaves=2,
+                                         persistence=0.5, frequency=16.0)
+        np.testing.assert_allclose(np.asarray(vol[z]), np.asarray(plane),
+                                   rtol=1e-5, atol=1e-5)
+    # z must actually vary (not a repeated plane)
+    assert np.abs(np.asarray(vol[0]) - np.asarray(vol[3])).max() > 1e-3
+
+
+def test_simplex_volume_noise_wrapper():
+    from anoddpm_tpu.ops import noise as nz
+    vol = nz.simplex_volume_noise(jax.random.key(0), (6, 16, 16), octaves=4,
+                                  persistence=0.8, frequency=16.0)
+    arr = np.asarray(vol)
+    assert arr.shape == (6, 16, 16)
+    assert np.isfinite(arr).all() and abs(arr.mean()) < 0.3
+    # deterministic per key, fresh across keys (newSeed analogue)
+    vol2 = nz.simplex_volume_noise(jax.random.key(0), (6, 16, 16), octaves=4,
+                                   persistence=0.8, frequency=16.0)
+    np.testing.assert_array_equal(arr, np.asarray(vol2))
+    vol3 = nz.simplex_volume_noise(jax.random.key(1), (6, 16, 16), octaves=4,
+                                   persistence=0.8, frequency=16.0)
+    assert np.abs(arr - np.asarray(vol3)).max() > 1e-3
+
+
 def test_masked_octaves_equals_static():
     seed = jnp.uint32(12345)
     static = sx.fractal3_fixed_t_hash(seed, (8, 8), 3.0, octaves=4,
