@@ -32,6 +32,13 @@ def testing(test_iter, em, sched: Schedule, args,
 
     test_iter yields {"image": (B, H, W, C)} host batches; em is the
     EvalModel (EMA module + params — passed to jit as runtime args).
+
+    CONTRACT: `test_iter` must be an INFINITE (cycling) iterator — three
+    sequential `next()` loops draw from it (videos, VLB sweep, PSNR pass),
+    mirroring the reference's `cycle(DataLoader)` usage
+    (evaluation.py:101-151, dataset.py:19-22).  A finite iterator raises
+    StopIteration mid-suite.  Wrap finite loaders in
+    `data.pipeline.cycle(...)` / itertools.cycle first.
     """
     from .training import jit_with_params
     if key is None:

@@ -82,7 +82,14 @@ def _make_whole_fb(em, sched, t_distance: int, sampler):
 def _whole_sequence(args, em, sched, x, t_distance: int, key,
                     sampler=None, fb=None):
     """Run "whole"-capture forward_backward and prepend x_0, matching the
-    reference's seq list (x_0, forward..x_lambda, reverse..x_0')."""
+    reference's seq list (x_0, forward..x_lambda, reverse..x_0').
+
+    `sampler` and `fb` are mutually exclusive: a prebuilt `fb` already owns
+    its sampler, so passing both with a mismatched sampler would silently
+    use the fb's (ADVICE round-2)."""
+    if fb is not None and sampler is not None:
+        raise ValueError("pass either a prebuilt fb or a sampler, not both "
+                         "(the fb already owns its noise sampler)")
     if fb is None:
         fb = _make_whole_fb(em, sched, t_distance,
                             sampler or sampler_from_args(args))

@@ -113,6 +113,14 @@ def simplex_rand_param_noise(key: jax.Array, shape: Tuple[int, ...],
     unconditionally overwritten by the default-parameter field
     (GaussianDiffusion.py:113-136).  We implement it *correctly* here; pass
     noise kind "simplex" for reference-parity behaviour.
+
+    DELIBERATE DEVIATION (PARITY.md): the reference draws a fresh
+    (octave, persistence, frequency) triple PER CHANNEL
+    (GaussianDiffusion.py:102-111); this draws ONE triple per call shared
+    across the whole (B, C) batch — a traced per-channel octave count would
+    force `max_octaves` kernel evaluations per channel.  Since every
+    shipped config is single-channel MRI and the mode is inert in the
+    reference anyway, the observable difference is nil.
     """
     b, h, w, c = shape
     key_param, key_seeds = jax.random.split(key)
