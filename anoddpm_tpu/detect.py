@@ -169,21 +169,35 @@ def detection_A(args, em, sched, x_0, mask, file_id, root_dir: str = ".",
                            f"ARGS={args['arg_num']}", "Anomalous",
                            str(file_id), "A")
     x_0 = jnp.asarray(x_0)
+    # ONE program per lambda, shared across the 7-frequency axis: the
+    # corruption frequency only enters the kernel as a scale divisor
+    # (ops/simplex.py octave mixers), so it is passed as a TRACED runtime
+    # scalar instead of being baked into the jitted closure — 7x fewer
+    # compiles of the up-to-600-step reverse scan (VERDICT round-2 item 2).
+    gauss = make_noise_sampler("gauss")
+    fb_cache = {}
+
+    def fb_for(t_distance):
+        if t_distance not in fb_cache:
+            fb_cache[t_distance] = jit_with_params(
+                em, lambda mf: lambda x, k, freq:
+                dmod.forward_backward(
+                    mf, sched, x, t_distance, k,
+                    noise_sampler=make_noise_sampler("simplex",
+                                                     frequency=freq),
+                    # reverse-step noise is gaussian, as in the reference's
+                    # sample_p default (GaussianDiffusion.py:506-509)
+                    denoise_sampler=gauss))
+        return fb_cache[t_distance]
+
     for i in range(7, 0, -1):
-        freq = float(2 ** i)
-        sampler = make_noise_sampler("simplex", frequency=freq)
+        freq = jnp.float32(2 ** i)
         for t_distance in range(50, int(int(args["T"]) * 0.6), 50):
-            # forward corruption at this frequency; reverse-step noise is
-            # gaussian, as in the reference's sample_p default
-            # (GaussianDiffusion.py:506-509)
-            fb = jit_with_params(em, lambda mf: lambda x, k:
-                dmod.forward_backward(mf, sched, x, t_distance, k,
-                                      noise_sampler=sampler,
-                                      denoise_sampler=make_noise_sampler("gauss")))
+            fb = fb_for(t_distance)
             recons = []
             for avg in range(total_avg):
                 key, sub = jax.random.split(key)
-                recon, _ = fb(x_0, sub)
+                recon, _ = fb(x_0, sub, freq)
                 recons.append(np.asarray(recon))
             output = np.stack(recons)                      # (avg, B, H, W, C)
             output_mean = output.mean(axis=0)
@@ -243,16 +257,21 @@ def detection_A_fixedT(args, em, sched, x_0, mask, root_dir: str = ".",
     if key is None:
         key = jax.random.key(4)
     x_0 = jnp.asarray(x_0)
+    # frequency as a traced scalar: ONE compile of the 250-step reverse
+    # scan for all 6 frequency rows (VERDICT round-2 item 2)
+    chain = jit_with_params(em, lambda mf: lambda x, k, freq:
+        dmod.denoise_chain(mf, sched, x, t_distance, k,
+                           noise_sampler=make_noise_sampler(
+                               "simplex", frequency=freq)))
     rows = []
     for i in range(1, end_freq + 1):
-        sampler = make_noise_sampler("simplex", frequency=float(2 ** i))
+        freq = jnp.float32(2 ** i)
+        sampler = make_noise_sampler("simplex", frequency=freq)
         key, k_fwd, k_rev = jax.random.split(key, 3)
         t_batch = jnp.full((x_0.shape[0],), t_distance - 1, jnp.int32)
         noise = sampler(k_fwd, x_0.shape, t_batch)
         x_noised = dmod.sample_q(sched, x_0, t_batch, noise)
-        recon, _ = jit_with_params(em, lambda mf: lambda x, k:
-            dmod.denoise_chain(mf, sched, x, t_distance, k,
-                               noise_sampler=sampler))(x_noised, k_rev)
+        recon, _ = chain(x_noised, k_rev, freq)
         mse = ((np.asarray(x_0) - np.asarray(recon)) ** 2 * 2) - 1
         thresh = ((mse > 0).astype(np.float32) * 2) - 1
         rows.append(np.concatenate(
@@ -438,43 +457,101 @@ def _write_metrics_csv(root_dir: str, arg_num, summary) -> None:
 
 def graph_data(args=None, root_dir: str = ".", token: Optional[str] = None,
                lambdas=None, max_volumes: int = 4,
-               use_checkpoint: bool = False):
-    """Per-lambda metric curves -> metrics/args{n}-lambda.csv + plot
-    (detection.py:290-428 `graph_data`).  Sweeps lambda, evaluating
-    dice/ssim/iou/auc on anomalous volumes at each."""
+               use_checkpoint: bool = False, dense: bool = False,
+               lambda_batch: int = 128, slice_index: int = 1):
+    """Per-lambda metric curves (detection.py:290-428 `graph_data`).
+
+    Per-volume artifacts at reference shape: `metrics/ARGS={n}/{vol}.csv`
+    (columns timestep,Dice,SSIM,IOU,Precision,Recall,FPR over the lambda
+    grid) plus a per-volume dice/IOU/precision/recall plot, evaluated on
+    slice `slice_index` of each volume as in the reference
+    (detection.py:344-347).  `dense=True` sweeps EVERY lambda in [0, T)
+    (the reference's t_range, detection.py:321); default is the 50-step
+    grid.  Also writes the pooled mean CSV + comparison plot.
+
+    TPU-native dense sweep: the reference runs one serial full reverse
+    chain per lambda per volume (1000 chains); here the lambda grid RIDES
+    THE BATCH AXIS — `forward_backward_batched_lambda` corrupts `lambda_
+    batch` copies of the slice at their own per-sample lambdas and
+    denoises them together in ONE compiled masked reverse scan, so the
+    whole grid costs ceil(n_lambdas/lambda_batch) dispatches of a single
+    program.
+    """
     if args is None:
         args, em, sched = _load_eval_model(root_dir, token, use_checkpoint)
     else:
         args, em, sched = args
     noise_sampler = sampler_from_args(args)
     if lambdas is None:
-        lambdas = range(50, sched.num_timesteps, 50)
+        lambdas = (range(0, sched.num_timesteps) if dense
+                   else range(50, sched.num_timesteps, 50))
+    lambdas = [int(t) for t in lambdas]
+    max_t = max(lambdas)
+    lambda_batch = min(lambda_batch, len(lambdas))
     d_set = anomalous_dataset_from_args(root_dir, args)
     n = min(len(d_set), max_volumes)
-    rows = []
+
+    fb = jit_with_params(em, lambda mf: lambda x, lamv, k:
+        dmod.forward_backward_batched_lambda(mf, sched, x, lamv, max_t, k,
+                                             noise_sampler=noise_sampler))
+
+    vol_dir = os.path.join(root_dir, "metrics", f"ARGS={args['arg_num']}")
+    os.makedirs(vol_dir, exist_ok=True)
     key = jax.random.key(11)
-    for t_distance in lambdas:
-        fb = jit_with_params(em, lambda mf: lambda x, k:
-            dmod.forward_backward(mf, sched, x, int(t_distance), k,
-                                  noise_sampler=noise_sampler))
-        per = {k: [] for k in ("dice", "ssim", "iou", "auc")}
-        for i in range(n):
-            sample = d_set[i]
+    metric_names = ("dice", "ssim", "iou", "precision", "recall", "fpr",
+                    "auc")
+    per_volume = []
+    for i in range(n):
+        sample = d_set[i]
+        img = sample["image"]
+        img = img if img.ndim == 4 else img[None]
+        msk = sample["mask"]
+        msk = msk if msk.ndim == 4 else msk[None]
+        s = min(slice_index, img.shape[0] - 1)
+        x0 = np.asarray(img[s:s + 1])
+        mask = np.asarray(msk[s:s + 1])
+        vol_name = os.path.basename(str(sample.get("filenames", i)))
+
+        curves = {m: np.empty(len(lambdas)) for m in metric_names}
+        for start in range(0, len(lambdas), lambda_batch):
+            lam_chunk = lambdas[start:start + lambda_batch]
+            pad = lambda_batch - len(lam_chunk)
+            lamv = jnp.asarray(lam_chunk + lam_chunk[:1] * pad, jnp.int32)
+            x_rep = jnp.broadcast_to(jnp.asarray(x0),
+                                     (lambda_batch,) + x0.shape[1:])
             key, sub = jax.random.split(key)
-            out, _ = evaluate_anomaly_batch(em, sched, sample["image"],
-                                            sample["mask"], sub,
-                                            noise_sampler,
-                                            int(t_distance), fb_jit=fb)
-            for k in per:
-                per[k].extend(out[k])
-        rows.append({"t": int(t_distance),
-                     **{k: float(np.mean(v)) for k, v in per.items()}})
-        print(f"lambda={t_distance}: " + ", ".join(
-            f"{k}={rows[-1][k]:.4f}" for k in ("dice", "ssim", "iou", "auc")),
-            flush=True)
+            recon = np.asarray(fb(x_rep, lamv, sub))
+            got = len(lam_chunk)
+            batch_m = M.batched_anomaly_metrics(
+                np.broadcast_to(x0, (got,) + x0.shape[1:]), recon[:got],
+                np.broadcast_to(mask, (got,) + mask.shape[1:]))
+            for m in metric_names:
+                curves[m][start:start + got] = batch_m[m]
+
+        # reference CSV shape: metrics/ARGS={n}/{vol}.csv with
+        # timestep,Dice,SSIM,IOU,Precision,Recall,FPR (detection.py:417-428)
+        csv_v = os.path.join(vol_dir, f"{vol_name}.csv")
+        with open(csv_v, "w") as f:
+            f.write("timestep,Dice,SSIM,IOU,Precision,Recall,FPR\n")
+            for j, t in enumerate(lambdas):
+                f.write(f"{t:04}," + ",".join(
+                    f"{curves[m][j]:.4f}" for m in
+                    ("dice", "ssim", "iou", "precision", "recall", "fpr"))
+                    + "\n")
+        _per_volume_lambda_plot(lambdas, curves,
+                                os.path.join(vol_dir, f"{vol_name}.png"))
+        per_volume.append(curves)
+        print(f"[{i + 1}/{n}] {vol_name}: peak dice "
+              f"{curves['dice'].max():.4f} at lambda="
+              f"{lambdas[int(curves['dice'].argmax())]}", flush=True)
+
+    # pooled mean across volumes (round-2 surface, kept for comparisons)
+    rows = [{"t": t,
+             **{m: float(np.mean([c[m][j] for c in per_volume]))
+                for m in ("dice", "ssim", "iou", "auc")}}
+            for j, t in enumerate(lambdas)]
     import pandas as pd
     metrics_dir = os.path.join(root_dir, "metrics")
-    os.makedirs(metrics_dir, exist_ok=True)
     csv_path = os.path.join(metrics_dir, f"args{args['arg_num']}-lambda.csv")
     pd.DataFrame(rows).to_csv(csv_path, index=False)
     from .graphs import graph_dice_comparison
@@ -485,10 +562,25 @@ def graph_data(args=None, root_dir: str = ".", token: Optional[str] = None,
     return rows
 
 
+def _per_volume_lambda_plot(lambdas, curves, path):
+    """dice/IOU/precision/recall vs lambda, ylim [0,1]
+    (detection.py:371-380)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    for name, label in (("dice", "dice"), ("iou", "IOU"),
+                        ("precision", "precision"), ("recall", "recall")):
+        plt.plot(lambdas, curves[name], label=label)
+    plt.legend(loc="upper right")
+    plt.gca().set_ylim([0, 1])
+    plt.savefig(path)
+    plt.clf()
+
+
 def roc_data(tokens, labels=None, root_dir: str = ".",
              t_distance: int = 200, max_volumes: Optional[int] = None,
              use_checkpoint: bool = False, ce_token: Optional[str] = None,
-             ce_train_steps: int = 2000):
+             ce_train_steps: int = 2000, args_override=None):
     """Multi-method pixel ROC comparison -> CSV + figure
     (detection.py:431-680 `roc_data` — the reference's 4-way
     simplex/hybrid/gauss/GAN-CE plot).
@@ -498,11 +590,17 @@ def roc_data(tokens, labels=None, root_dir: str = ".",
     from its repo (Comparative_models/CE.py — SURVEY.md §2.2); this
     framework's working CE baseline (baselines.py) is trained on the named
     config's healthy set and evaluated on the same anomalous set.
+
+    `args_override` entries are injected into every method's eval args —
+    e.g. {"lesion_kind": "diffuse"} evaluates all curves on the harder
+    synthetic lesion regime.
     """
     labels = labels or [f"args{t}" for t in tokens]
     curves = {}
     for token, label in zip(tokens, labels):
         args, em, sched = _load_eval_model(root_dir, token, use_checkpoint)
+        for k, v in (args_override or {}).items():
+            args[k] = v
         noise_sampler = sampler_from_args(args)
         td = min(t_distance, sched.num_timesteps)
         fb = jit_with_params(em, lambda mf: lambda x, k:
@@ -535,6 +633,8 @@ def roc_data(tokens, labels=None, root_dir: str = ".",
         from .config import load_args
         ce_args = load_args(ce_token, config_dir=os.path.join(root_dir,
                                                               "configs"))
+        for k, v in (args_override or {}).items():
+            ce_args[k] = v
         ce_model, ce_params = train_context_encoder(ce_args,
                                                     root_dir=root_dir,
                                                     steps=ce_train_steps)
@@ -600,14 +700,19 @@ def main(argv=None):
     elif mode == "graph":
         graph_data(token=token, use_checkpoint=use_checkpoint)
     elif mode == "roc":
-        # trailing "CE=<cfg>" adds the context-encoder baseline curve
-        rest, ce_token = argv[2:], None
+        # trailing "CE=<cfg>" adds the context-encoder baseline curve;
+        # "LESION=<kind>" evaluates every curve on that synthetic lesion
+        # regime (e.g. LESION=diffuse for the harder family)
+        rest, ce_token, override = argv[2:], None, None
         for a in list(rest):
             if a.startswith("CE="):
                 ce_token = a[3:]
                 rest.remove(a)
+            elif a.startswith("LESION="):
+                override = {"lesion_kind": a[7:]}
+                rest.remove(a)
         roc_data([token] + rest, use_checkpoint=use_checkpoint,
-                 ce_token=ce_token)
+                 ce_token=ce_token, args_override=override)
     else:
         anomalous_metric_calculation(token=token,
                                      use_checkpoint=use_checkpoint)

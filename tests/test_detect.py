@@ -59,6 +59,88 @@ def test_metric_calculation_ddim_without_eta(tiny_model, tmp_path):
     assert np.isfinite(out["auc"])
 
 
+def test_detection_A_one_compile_per_lambda(tiny_model, tmp_path,
+                                            monkeypatch):
+    """The frequency axis must NOT multiply compiles: detection_A sweeps
+    7 frequencies x N lambdas but frequency is a traced runtime scalar, so
+    exactly one jitted program per lambda is built (VERDICT round-2 item 2;
+    sweep protocol per GaussianDiffusion.py:480-529)."""
+    import anoddpm_tpu.detect as D
+    em, sched = tiny_model
+    calls = []
+    real = D.jit_with_params
+    monkeypatch.setattr(D, "jit_with_params",
+                        lambda *a, **k: calls.append(1) or real(*a, **k))
+    args = defaultdict_from_json({
+        "arg_num": "cc", "img_size": (IMG, IMG), "T": 200})
+    x_0 = jnp.zeros((1, IMG, IMG, 1))
+    mask = np.zeros((1, IMG, IMG, 1), np.float32)
+    D.detection_A(args, em, sched, x_0, mask, "v0",
+                  root_dir=str(tmp_path), total_avg=1)
+    n_lambdas = len(range(50, int(200 * 0.6), 50))  # 2
+    assert len(calls) == n_lambdas, (
+        f"expected one program per lambda ({n_lambdas}), got {len(calls)}")
+    out = os.path.join(str(tmp_path), "diffusion-videos", "ARGS=cc",
+                       "Anomalous", "v0", "A")
+    assert len(os.listdir(out)) == 7 * n_lambdas  # all grids still written
+
+
+def test_detection_A_fixedT_single_compile_and_freq_variation(
+        tiny_model, tmp_path, monkeypatch):
+    """detection_A_fixedT builds ONE reverse-chain program for all
+    frequency rows, and the rows actually differ (the traced frequency is
+    live, not constant-folded)."""
+    import anoddpm_tpu.detect as D
+    em, sched = tiny_model
+    calls = []
+    real = D.jit_with_params
+    monkeypatch.setattr(D, "jit_with_params",
+                        lambda *a, **k: calls.append(1) or real(*a, **k))
+    args = defaultdict_from_json({"arg_num": "cf", "img_size": (IMG, IMG)})
+    x_0 = jnp.zeros((1, IMG, IMG, 1))
+    mask = np.zeros((1, IMG, IMG, 1), np.float32)
+    rows = D.detection_A_fixedT(args, em, sched, x_0, mask,
+                                root_dir=str(tmp_path), end_freq=3,
+                                t_distance=4)
+    assert len(calls) == 1
+    assert rows.shape[0] == 3 * 6  # 3 freq rows x 6 panels
+    # x_noised panels (index 1 within each row) differ across frequencies
+    row0, row1 = rows[1], rows[7]
+    assert np.abs(row0 - row1).max() > 1e-3
+
+
+def test_graph_data_per_volume_dense(tiny_model, tmp_path):
+    """graph_data writes per-volume metrics/ARGS={n}/{vol}.csv + plot at
+    the reference artifact shape (detection.py:417-428), here with a DENSE
+    lambda grid (every lambda in [0, T)) served by ONE compiled
+    lambda-batched program, plus the pooled CSV/plot."""
+    from anoddpm_tpu.detect import graph_data
+    em, sched = tiny_model  # T = 10
+    args = defaultdict_from_json({
+        "arg_num": "gd", "img_size": (IMG, IMG), "noise_fn": "gauss",
+        "dataset": "synthetic"})
+    rows = graph_data(args=(args, em, sched), root_dir=str(tmp_path),
+                      max_volumes=2, dense=True, lambda_batch=4)
+    assert len(rows) == 10  # lambda in [0, 10)
+    vol_dir = os.path.join(str(tmp_path), "metrics", "ARGS=gd")
+    csvs = [f for f in os.listdir(vol_dir) if f.endswith(".csv")]
+    pngs = [f for f in os.listdir(vol_dir) if f.endswith(".png")]
+    assert len(csvs) == 2 and len(pngs) == 2  # one per volume
+    lines = open(os.path.join(vol_dir, csvs[0])).read().strip().splitlines()
+    assert lines[0] == "timestep,Dice,SSIM,IOU,Precision,Recall,FPR"
+    assert len(lines) == 1 + 10  # header + dense grid
+    assert lines[1].startswith("0000,")
+    # lambda=0 row: recon == x_0 -> zero sq-err -> empty prediction
+    # (FPR is NOT 0 here: the reference's swapped-FPR quirk counts
+    # missed positives, PARITY.md)
+    first = dict(zip(lines[0].split(","), lines[1].split(",")))
+    assert float(first["SSIM"]) == 1.0 and float(first["Precision"]) == 0.0
+    assert float(first["Dice"]) < 1e-4
+    # pooled surface still written
+    assert os.path.exists(os.path.join(str(tmp_path), "metrics",
+                                       "argsgd-lambda.csv"))
+
+
 def test_anomalous_validation_full_recipe(tiny_model, tmp_path, monkeypatch):
     """All-volume default, per-slice videos + heatmaps + detection_B, dice
     list returned (detection.py:17-153 semantics)."""
