@@ -370,7 +370,12 @@ def anomalous_dataset_from_args(root_dir: str, args):
     from .synthetic import SyntheticAnomalyDataset
     name = str(args.get("dataset", "") or "synthetic").lower()
     if name in ("synthetic", ""):
-        return SyntheticAnomalyDataset(img_size=args["img_size"])
+        # lesion_kind "bump" (bright ellipsoid, round-2 default) or
+        # "diffuse" (low-frequency intensity-matched irregular lesions —
+        # the harder regime matching the paper's real-tumour phenomenology)
+        kind = str(args.get("lesion_kind") or "bump")
+        return SyntheticAnomalyDataset(img_size=args["img_size"],
+                                       lesion_kind=kind)
     if name == "carpet":
         return DAGM(os.path.join(root_dir, "DATASETS", "CARPET", "Class1"),
                     anomalous=True, img_size=args["img_size"])

@@ -217,6 +217,53 @@ def forward_backward(model_fn: ModelFn, sched: Schedule, x: jax.Array,
     return x_recon, frames
 
 
+def forward_backward_batched_lambda(model_fn: ModelFn, sched: Schedule,
+                                    x: jax.Array, lam: jax.Array,
+                                    max_t: int, key: jax.Array,
+                                    noise_sampler: NoiseSampler = gaussian_noise,
+                                    denoise_sampler: Optional[NoiseSampler] = None):
+    """Partial diffusion with a PER-SAMPLE traced corruption depth.
+
+    TPU-native replacement for the reference's dense-lambda sweep loop
+    (detection.py:349-355 runs forward_backward once per t in [0, 999],
+    one compile + one serial chain each): here `lam` is a (B,) int32
+    vector of per-sample lambdas, each sample is q-jumped to its own
+    lam-1, and ONE masked reverse scan of `max_t` (static) steps denoises
+    all of them together — samples are only updated at steps t < lam[i].
+    One compiled program serves every lambda value in [0, max_t]; the
+    whole lambda grid rides the batch axis of the MXU.
+
+    Key discipline matches `forward_backward` exactly (split into
+    fwd/rev, then one split per reverse step), so when every lam[i] ==
+    max_t the output is BIT-IDENTICAL to forward_backward(t_distance=
+    max_t) with the same key.  lam[i] == 0 returns sample i unchanged.
+    """
+    if denoise_sampler is None:
+        denoise_sampler = noise_sampler
+    lam = jnp.asarray(lam, jnp.int32)
+    b = x.shape[0]
+    key_fwd, key_rev = jax.random.split(key)
+
+    t_corrupt = jnp.clip(lam - 1, 0, None)
+    noise = noise_sampler(key_fwd, x.shape, t_corrupt)
+    x_corrupt = sample_q(sched, x, t_corrupt, noise)
+    active0 = (lam > 0).reshape((b,) + (1,) * (x.ndim - 1))
+    x_t = jnp.where(active0, x_corrupt, x)
+
+    def step(carry, t):
+        xc, k = carry
+        k, sub = jax.random.split(k)
+        t_batch = jnp.full((b,), t, jnp.int32)
+        x_next, _ = sample_p(model_fn, sched, xc, t_batch, sub,
+                             denoise_sampler)
+        active = (t < lam).reshape((b,) + (1,) * (x.ndim - 1))
+        return (jnp.where(active, x_next, xc), k), None
+
+    ts = jnp.arange(max_t - 1, -1, -1)
+    (x_final, _), _ = jax.lax.scan(step, (x_t, key_rev), ts)
+    return x_final
+
+
 # --------------------------------------------------------------------------
 # DDIM accelerated sampling (Song et al., "Denoising Diffusion Implicit
 # Models", arXiv:2010.02502 — PAPERS.md).  Framework addition beyond the

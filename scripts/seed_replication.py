@@ -1,17 +1,21 @@
-"""Seed-replicated quality evidence for the two headline cells
-(VERDICT.md round-1 item 5; protocol per /root/reference/detection.py:223-250
+"""Seed-replicated quality evidence + sampler-frontier sweep
+(VERDICT round-2 item 1; protocol per /root/reference/detection.py:223-250
 — lambda=200 partial diffusion on the anomalous set, AUC on raw sq-err,
 threshold 0.5 for Dice):
 
-  cell A: paper-config base-128 UNet + full DDPM-200 reverse
-  cell B: base-64 s2d-2 UNet + stochastic DDIM-25 (the throughput headline)
+  anchor : paper-config base-128 UNet + full DDPM-200 reverse
+           (the reference protocol; its mean/CI is the parity target)
+  frontier: base-64 s2d-2 UNet evaluated under DDIM-15/20/25/35 eta=1
+           plus a DDPM-200 diagnostic (separates model quality from
+           sampler effect)
 
-Each cell trains >=3 fresh seeds end-to-end through train.train() and
-evaluates via the real detect path, writing per-seed numbers + mean/std to
-results/seed_replication.json incrementally (safe to resume; finished
-seed/cell entries are skipped).
+Each model cell trains >=5 fresh seeds end-to-end through train.train();
+every protocol is then evaluated on every seed via the real detect path.
+Results are written to results/seed_replication.json incrementally (safe
+to resume; finished entries are skipped).  Training runs first so the
+expensive assets exist even if evals are interrupted.
 
-Usage: python scripts/seed_replication.py [seeds...]   (default 0 1 2)
+Usage: python scripts/seed_replication.py [seeds...]   (default 0 1 2 3 4)
 """
 import copy
 import json
@@ -27,16 +31,45 @@ import numpy as np
 
 RESULTS = "results/seed_replication.json"
 
-CELLS = {
-    "paper128_ddpm200": {
-        "config": "256syn128",
-        "protocol": {"sampler": "ddpm"},
-    },
-    "s2d64_ddim25_eta1": {
-        "config": "256syn64s2d",
-        "protocol": {"sampler": "ddim", "ddim_steps": 25, "ddim_eta": 1.0},
-    },
+# model cells: config token -> the protocol cells evaluated on it
+MODELS = {
+    "256syn128": ["paper128_ddpm200", "paper128_ddpm200_diffuse"],
+    "256syn64s2d": [
+        "s2d64_ddim15_eta1",
+        "s2d64_ddim20_eta1",
+        "s2d64_ddim25_eta1",
+        "s2d64_ddim35_eta1",
+        "s2d64_ddpm200",
+        "s2d64_ddim25_eta1_diffuse",
+        "s2d64_ddim15_eta1_diffuse",
+    ],
 }
+# "_diffuse" cells evaluate the SAME trained seeds on the harder
+# low-frequency intensity-matched irregular lesion family
+# (data/synthetic.py `_diffuse_lesion`, VERDICT round-2 item 5) — the
+# lesion regime only enters at evaluation time (training sees healthy
+# phantoms only).
+PROTOCOLS = {
+    "paper128_ddpm200": {"sampler": "ddpm"},
+    "s2d64_ddpm200": {"sampler": "ddpm"},
+    "s2d64_ddim15_eta1": {"sampler": "ddim", "ddim_steps": 15,
+                          "ddim_eta": 1.0},
+    "s2d64_ddim20_eta1": {"sampler": "ddim", "ddim_steps": 20,
+                          "ddim_eta": 1.0},
+    "s2d64_ddim25_eta1": {"sampler": "ddim", "ddim_steps": 25,
+                          "ddim_eta": 1.0},
+    "s2d64_ddim35_eta1": {"sampler": "ddim", "ddim_steps": 35,
+                          "ddim_eta": 1.0},
+    "paper128_ddpm200_diffuse": {"sampler": "ddpm",
+                                 "lesion_kind": "diffuse"},
+    "s2d64_ddim25_eta1_diffuse": {"sampler": "ddim", "ddim_steps": 25,
+                                  "ddim_eta": 1.0,
+                                  "lesion_kind": "diffuse"},
+    "s2d64_ddim15_eta1_diffuse": {"sampler": "ddim", "ddim_steps": 15,
+                                  "ddim_eta": 1.0,
+                                  "lesion_kind": "diffuse"},
+}
+METRICS = ("auc", "dice", "ssim", "iou")
 
 
 def load_results():
@@ -52,64 +85,84 @@ def save_results(res):
     os.replace(RESULTS + ".tmp", RESULTS)
 
 
-def main():
+def train_args_for(config: str, seed: int):
     from anoddpm_tpu.config import load_args
+    args = copy.deepcopy(load_args(config))
+    args["seed"] = seed
+    # fuse 8 optimizer steps per dispatch (the production train_substeps
+    # path — ~28 ms relay overhead amortised away, BENCHNOTES round-2)
+    args["train_substeps"] = 8
+    args["arg_num"] = f"{config}_s{seed}"
+    return args
+
+
+def ensure_trained(config: str, seed: int):
+    from anoddpm_tpu.train import train
+    args = train_args_for(config, seed)
+    token = args["arg_num"]
+    final = os.path.join("model", f"diff-params-ARGS={token}",
+                         "params-final", "payload.msgpack")
+    if not os.path.exists(final):
+        print(f"=== training {token} ({args['EPOCHS']} epochs)", flush=True)
+        train(args)
+    return token
+
+
+def aggregate(res, seeds):
+    for cells in MODELS.values():
+        for cell in cells:
+            vals = {m: [res[f"{cell}/seed{s}"][m] for s in seeds
+                        if f"{cell}/seed{s}" in res] for m in METRICS}
+            if not vals["auc"]:
+                continue
+            res[f"{cell}/aggregate"] = {
+                m: {"mean": float(np.mean(v)), "std": float(np.std(v)),
+                    "n": len(v)}
+                for m, v in vals.items()}
+            a = res[f"{cell}/aggregate"]
+            print(f"{cell}: AUC {a['auc']['mean']:.4f}"
+                  f"+-{a['auc']['std']:.4f}  "
+                  f"Dice {a['dice']['mean']:.4f}"
+                  f"+-{a['dice']['std']:.4f}  (n={a['auc']['n']})",
+                  flush=True)
+
+
+def main():
     from anoddpm_tpu.detect import (_load_eval_model,
                                     anomalous_metric_calculation)
-    from anoddpm_tpu.train import train
 
-    seeds = [int(s) for s in sys.argv[1:]] or [0, 1, 2]
+    seeds = [int(s) for s in sys.argv[1:]] or [0, 1, 2, 3, 4]
     res = load_results()
 
-    for cell, spec in CELLS.items():
+    # phase 1: make sure every model asset exists (expensive, do first)
+    tokens = {}
+    for config in MODELS:
         for seed in seeds:
-            key = f"{cell}/seed{seed}"
-            if key in res:
-                print(f"skip {key} (done)", flush=True)
-                continue
-            base = load_args(spec["config"])
-            args = copy.deepcopy(base)
-            args["seed"] = seed
-            # fuse 8 optimizer steps per dispatch (the production
-            # train_substeps path — ~28 ms relay overhead amortised away,
-            # BENCHNOTES round-2 table)
-            args["train_substeps"] = 8
-            token = f"{spec['config']}_s{seed}"
-            args["arg_num"] = token
+            tokens[(config, seed)] = ensure_trained(config, seed)
 
-            final = os.path.join("model", f"diff-params-ARGS={token}",
-                                 "params-final", "payload.msgpack")
-            if not os.path.exists(final):
-                print(f"=== training {key} ({args['EPOCHS']} epochs)",
-                      flush=True)
-                train(args)
+    # phase 2: evaluate every missing (protocol, seed) cell; cheap DDIM
+    # cells first so partial runs still yield frontier evidence
+    work = []
+    for config, cells in MODELS.items():
+        for cell in cells:
+            for seed in seeds:
+                if f"{cell}/seed{seed}" not in res:
+                    cost = PROTOCOLS[cell].get("ddim_steps", 200)
+                    work.append((cost, config, cell, seed))
+    work.sort()
+    for _, config, cell, seed in work:
+        key = f"{cell}/seed{seed}"
+        eval_args, em, sched = _load_eval_model(".", tokens[(config, seed)])
+        for k, v in PROTOCOLS[cell].items():
+            eval_args[k] = v
+        summary = anomalous_metric_calculation(args=eval_args, em=em,
+                                               sched=sched)
+        res[key] = {m: summary[m] for m in METRICS}
+        save_results(res)
+        print(f"=== {key}: AUC {summary['auc']:.4f} "
+              f"Dice {summary['dice']:.4f}", flush=True)
 
-            eval_args, em, sched = _load_eval_model(".", token)
-            for k, v in spec["protocol"].items():
-                eval_args[k] = v
-            summary = anomalous_metric_calculation(args=eval_args, em=em,
-                                                   sched=sched)
-            res[key] = {k: summary[k] for k in
-                        ("auc", "dice", "ssim", "iou")}
-            save_results(res)
-            print(f"=== {key}: AUC {summary['auc']:.4f} "
-                  f"Dice {summary['dice']:.4f}", flush=True)
-
-    # aggregate mean +- std per cell
-    for cell in CELLS:
-        vals = {m: [res[f"{cell}/seed{s}"][m] for s in seeds
-                    if f"{cell}/seed{s}" in res]
-                for m in ("auc", "dice", "ssim", "iou")}
-        if not vals["auc"]:
-            continue
-        res[f"{cell}/aggregate"] = {
-            m: {"mean": float(np.mean(v)), "std": float(np.std(v)),
-                "n": len(v)}
-            for m, v in vals.items()}
-        a = res[f"{cell}/aggregate"]
-        print(f"{cell}: AUC {a['auc']['mean']:.4f}+-{a['auc']['std']:.4f}  "
-              f"Dice {a['dice']['mean']:.4f}+-{a['dice']['std']:.4f}  "
-              f"(n={a['auc']['n']})", flush=True)
+    aggregate(res, seeds)
     save_results(res)
 
 

@@ -88,6 +88,59 @@ def test_synthetic_datasets_contract():
     assert a["mask"].sum() > 0  # lesions exist
 
 
+def test_diffuse_lesion_family_is_intensity_matched():
+    """The harder lesion regime (VERDICT round-2 item 5): irregular,
+    diffuse-margin, intensity-matched lesions.  Unlike the "bump" family
+    (a +0.5 bright blob), diffuse lesion pixels must sit INSIDE the healthy
+    tissue's own intensity range — detectable by structure, not by a
+    brightness threshold."""
+    import pytest
+    bump_ds = SyntheticAnomalyDataset(img_size=(64, 64), length=3,
+                                      lesion_kind="bump")
+    diff_ds = SyntheticAnomalyDataset(img_size=(64, 64), length=3,
+                                      lesion_kind="diffuse")
+    for i in range(3):
+        b, d = bump_ds[i], diff_ds[i]
+        assert d["image"].shape == (4, 64, 64, 1)
+        assert set(np.unique(d["mask"])) <= {0.0, 1.0}
+        for s in range(4):
+            img = d["image"][s, ..., 0]
+            msk = d["mask"][s, ..., 0].astype(bool)
+            assert msk.sum() > 10  # lesion exists, nontrivial area
+            tissue = img > -0.9
+            healthy = tissue & ~msk
+            # intensity-matched: lesion pixels within the healthy tissue's
+            # own [min, max] envelope (+ small texture slack)
+            lo, hi = img[healthy].min(), img[healthy].max()
+            assert img[msk].max() <= hi + 0.05
+            assert img[msk].min() >= lo - 0.05
+            # the bump family, by contrast, saturates at/near the top
+            bimg = b["image"][s, ..., 0]
+            bmsk = b["mask"][s, ..., 0].astype(bool)
+            bhealthy = (bimg > -0.9) & ~bmsk
+            assert bimg[bmsk].max() > bimg[bhealthy].max() + 0.05
+        # determinism per index
+        np.testing.assert_array_equal(d["image"], diff_ds[i]["image"])
+    with pytest.raises(ValueError):
+        SyntheticAnomalyDataset(lesion_kind="nope")
+
+
+def test_dataset_inspect_harness(tmp_path):
+    """Dataset sanity harness (reference checkDataSet /
+    load_datasets_for_test, dataset.py:239-347): volume scan video +
+    healthy/anomalous side-by-side sheets."""
+    import os
+    from anoddpm_tpu.config import defaultdict_from_json
+    from anoddpm_tpu.data.inspect import inspect
+    args = defaultdict_from_json({
+        "arg_num": "inspect", "img_size": (32, 32), "dataset": "synthetic"})
+    inspect(args, root_dir=str(tmp_path), mode="all", max_volumes=3)
+    out = os.path.join(str(tmp_path), "inspection-outputs", "ARGS=inspect")
+    files = os.listdir(out)
+    assert any(f.startswith("anomalous-volumes") for f in files)  # video
+    assert sum(f.startswith("sheet-") for f in files) == 5
+
+
 def test_batch_iterator_semantics():
     ds = SyntheticMRIDataset(img_size=(16, 16), length=10)
     it = batch_iterator(ds, batch_size=4, shuffle=False)

@@ -111,6 +111,36 @@ def test_forward_backward_t0_identity(sched):
     np.testing.assert_array_equal(np.asarray(recon), np.asarray(x0))
 
 
+def test_batched_lambda_matches_forward_backward_at_max(sched):
+    """forward_backward_batched_lambda with every lam[i] == max_t must be
+    BIT-IDENTICAL to forward_backward(t_distance=max_t) under the same key
+    (identical key-split discipline by construction)."""
+    x0 = jax.random.uniform(jax.random.key(20), (3, 8, 8, 1),
+                            minval=-1, maxval=1)
+    key = jax.random.key(21)
+    ref, _ = dm.forward_backward(_zero_model, sched, x0, 10, key)
+    got = dm.forward_backward_batched_lambda(
+        _zero_model, sched, x0, jnp.full((3,), 10, jnp.int32), 10, key)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_batched_lambda_zero_is_identity_and_masks_per_sample(sched):
+    """lam[i]=0 samples pass through untouched even while neighbours in the
+    same dispatch are corrupted+denoised; deeper lambda corrupts more."""
+    x0 = jnp.broadcast_to(jnp.linspace(-1, 1, 8 * 8).reshape(1, 8, 8, 1),
+                          (3, 8, 8, 1))
+    lam = jnp.array([0, 5, 40], jnp.int32)
+    out = dm.forward_backward_batched_lambda(
+        _zero_model, sched, x0, lam, 40, jax.random.key(22))
+    out = np.asarray(out)
+    np.testing.assert_array_equal(out[0], np.asarray(x0[0]))
+    assert np.isfinite(out).all()
+    # same input slice, deeper corruption -> larger deviation from x_0
+    d1 = np.abs(out[1] - np.asarray(x0[1])).mean()
+    d2 = np.abs(out[2] - np.asarray(x0[2])).mean()
+    assert 0 < d1 < d2
+
+
 def test_calc_total_vlb_shapes(sched):
     x0 = jax.random.uniform(jax.random.key(10), (2, 8, 8, 1), minval=-1, maxval=1)
     out = dm.calc_total_vlb(_zero_model, sched, x0, jax.random.key(11))

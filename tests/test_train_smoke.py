@@ -54,3 +54,58 @@ def test_train_recipe_smoke(tmp_path):
     # test-set eval artifact from the final testing() call
     assert glob.glob(os.path.join(root, "metrics", "*smoketrain*test*")) or \
         glob.glob(os.path.join(root, "metrics", "argssmoketrain*.json"))
+
+
+def test_train_recipe_on_mesh_with_resume(tmp_path):
+    """Full train.train() dress rehearsal on the virtual 8-device mesh
+    (VERDICT round-2 item 3): prefetcher + fused substeps + checkpoint under
+    sharding, interrupted and restarted with RESUME_RECENT — the restore
+    path re-enters the sharded step from a replicated-spec target
+    (diffusion_training.py:273-284, :363-377 resume contract)."""
+    from anoddpm_tpu.parallel.mesh import make_mesh
+    from anoddpm_tpu.train import train
+
+    args = defaultdict_from_json({
+        "arg_num": "meshtrain",
+        "img_size": [32, 32],
+        "Batch_Size": 8,          # 1 sample per device
+        "EPOCHS": 6,
+        "T": 10,
+        "base_channels": 32,
+        "channel_mults": [1, 2],
+        "attention_resolutions": "16",
+        "beta_schedule": "cosine",
+        "loss-type": "l2",
+        "lr": 1e-4,
+        "sample_distance": 8,
+        "train_start": True,
+        "noise_fn": "simplex",    # production corruption, sharded on-device
+        "dataset": "synthetic",
+        "iters_per_epoch": 2,
+        "train_substeps": 2,      # fused dispatch path under the mesh
+        "checkpoint_every": 2,
+        "save_imgs": False,
+        "save_vids": False,
+        "seed": 0,
+    })
+    root = str(tmp_path)
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+    # leg 1: run to epoch 3 (past a checkpoint_every boundary), "crash"
+    train(args, root_dir=root, mesh=mesh, max_epochs=3)
+    ckpt_dir = os.path.join(root, "model", "diff-params-ARGS=meshtrain",
+                            "checkpoint")
+    assert os.path.isdir(ckpt_dir) and os.listdir(ckpt_dir)
+
+    # leg 2: RESUME_RECENT restart on the mesh, run to completion
+    state = train(args, root_dir=root, mesh=mesh, resume="RESUME_RECENT",
+                  max_epochs=6)
+    import jax
+    leaf = jax.tree_util.tree_leaves(state.params)[0]
+    assert leaf.sharding.is_fully_replicated
+    final = os.path.join(root, "model", "diff-params-ARGS=meshtrain",
+                         "params-final", "payload.msgpack")
+    assert os.path.exists(final)
+    jsonl = os.path.join(root, "metrics", "argsmeshtrain-train.jsonl")
+    assert os.path.exists(jsonl)
