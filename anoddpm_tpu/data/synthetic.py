@@ -88,9 +88,15 @@ def _diffuse_lesion(rng: np.random.Generator, size: Tuple[int, int],
     falloff = (falloff * tissue).astype(np.float32)
     mask = (falloff > 0.5).astype(np.float32)
 
-    # intensity target near the tissue's own distribution
+    # intensity target near the tissue's own distribution: a random-sign
+    # offset with a guaranteed floor (|offset| >= 0.12), so the lesion has
+    # SOME low-frequency contrast to find — near-zero offsets would be
+    # undetectable by any method and the comparison would collapse to
+    # chance — while remaining well inside the textured tissue's own
+    # intensity envelope (~[0.35, 0.8])
     t_mean = float(img[tissue].mean()) if tissue.any() else 0.5
-    target = np.clip(t_mean + rng.uniform(-0.2, 0.25), 0.1, 0.9)
+    offset = rng.choice([-1.0, 1.0]) * rng.uniform(0.12, 0.28)
+    target = np.clip(t_mean + offset, 0.1, 0.9)
     tex = np.zeros((h, w), np.float32)
     for _ in range(3):
         fy, fx = rng.uniform(0.5, 2.0, size=2)
