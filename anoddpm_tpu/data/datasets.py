@@ -374,8 +374,10 @@ def anomalous_dataset_from_args(root_dir: str, args):
         # "diffuse" (low-frequency intensity-matched irregular lesions —
         # the harder regime matching the paper's real-tumour phenomenology)
         kind = str(args.get("lesion_kind") or "bump")
+        severity = float(args.get("lesion_severity") or 1.0)
         return SyntheticAnomalyDataset(img_size=args["img_size"],
-                                       lesion_kind=kind)
+                                       lesion_kind=kind,
+                                       lesion_severity=severity)
     if name == "carpet":
         return DAGM(os.path.join(root_dir, "DATASETS", "CARPET", "Class1"),
                     anomalous=True, img_size=args["img_size"])

