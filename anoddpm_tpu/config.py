@@ -35,7 +35,7 @@ KNOWN_KEYS = {
     "simplex_octaves", "simplex_persistence", "simplex_frequency",
     "checkpoint_every", "ema_decay", "grad_clip_norm",
     "train_substeps", "sampler", "ddim_steps", "ddim_eta", "space_to_depth",
-    "bf16_norm", "lesion_kind", "lesion_severity",
+    "bf16_norm", "lesion_kind", "lesion_severity", "recon_repeats",
     "_note",  # free-form provenance comment in shipped configs
 }
 

@@ -121,6 +121,22 @@ def anomalous_metric_calculation(args=None, root_dir: str = ".",
             dmod.forward_backward(mf, sched, x, t_distance, k,
                                   noise_sampler=noise_sampler))
 
+    # mean of N independent reconstructions before the sq-err map — the
+    # reference's own detection-sweep semantics (detection.py:114-128,
+    # GaussianDiffusion.py:540-551 average 3-5 recons); averaging k recons
+    # cuts the stochastic noise floor of the error map by ~k, which is a
+    # cheaper AUC lever than more reverse steps at equal step budget
+    repeats = int(args.get("recon_repeats") or 1)
+    if repeats > 1:
+        base_fb = fb_jit
+
+        def fb_jit(x, k, _base=base_fb, _n=repeats):
+            acc = None
+            for sub in jax.random.split(k, _n):
+                r, _ = _base(x, sub)
+                acc = r if acc is None else acc + r
+            return acc / _n, None
+
     key = jax.random.key(int(args.get("seed", 0) or 0) + 1)
     totals = {k: [] for k in ("dice", "ssim", "iou", "precision", "recall",
                               "fpr", "auc")}

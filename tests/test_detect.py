@@ -59,6 +59,28 @@ def test_metric_calculation_ddim_without_eta(tiny_model, tmp_path):
     assert np.isfinite(out["auc"])
 
 
+def test_metric_calculation_recon_repeats(tiny_model, tmp_path):
+    """recon_repeats=k averages k independent reconstructions before the
+    sq-err map (the reference's own detection-sweep semantics,
+    detection.py:114-128) and must go through the same metric path."""
+    from anoddpm_tpu.detect import anomalous_metric_calculation
+    em, sched = tiny_model
+    base = {"arg_num": "reps", "img_size": (IMG, IMG), "noise_fn": "gauss",
+            "dataset": "synthetic", "sampler": "ddim", "ddim_steps": 3,
+            "ddim_eta": 1.0}
+    out1 = anomalous_metric_calculation(
+        defaultdict_from_json(base), root_dir=str(tmp_path), em=em,
+        sched=sched, t_distance=5, max_volumes=1)
+    out2 = anomalous_metric_calculation(
+        defaultdict_from_json({**base, "recon_repeats": 2}),
+        root_dir=str(tmp_path), em=em, sched=sched, t_distance=5,
+        max_volumes=1)
+    assert np.isfinite(out2["auc"])
+    # averaging changes the error map, so the metrics must not be
+    # byte-identical to the single-recon run (same PRNG seed path)
+    assert out1["auc"] != out2["auc"]
+
+
 def test_detection_A_one_compile_per_lambda(tiny_model, tmp_path,
                                             monkeypatch):
     """The frequency axis must NOT multiply compiles: detection_A sweeps
