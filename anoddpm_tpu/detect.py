@@ -717,15 +717,21 @@ def main(argv=None):
         graph_data(token=token, use_checkpoint=use_checkpoint)
     elif mode == "roc":
         # trailing "CE=<cfg>" adds the context-encoder baseline curve;
-        # "LESION=<kind>" evaluates every curve on that synthetic lesion
-        # regime (e.g. LESION=diffuse for the harder family)
+        # "LESION=<kind>[:<severity>]" evaluates every curve on that
+        # synthetic lesion regime (e.g. LESION=diffuse:1.5 for the harder
+        # family at the calibrated severity,
+        # results/diffuse_calibration.json)
         rest, ce_token, override = argv[2:], None, None
         for a in list(rest):
             if a.startswith("CE="):
                 ce_token = a[3:]
                 rest.remove(a)
             elif a.startswith("LESION="):
-                override = {"lesion_kind": a[7:]}
+                spec = a[7:]
+                kind, _, sev = spec.partition(":")
+                override = {"lesion_kind": kind}
+                if sev:
+                    override["lesion_severity"] = float(sev)
                 rest.remove(a)
         roc_data([token] + rest, use_checkpoint=use_checkpoint,
                  ce_token=ce_token, args_override=override)

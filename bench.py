@@ -33,7 +33,7 @@ def run_bench(batch: int, t_distance: int = 250, img: int = 256,
               base_channels: int = 128, noise_kind: str = "simplex",
               repeats: int = 3, warmup: bool = True,
               ddim_steps: int = 0, ddim_eta: float = 1.0,
-              space_to_depth: int = 1):
+              space_to_depth: int = 1, recon_repeats: int = 1):
     from anoddpm_tpu import diffusion as dm
     from anoddpm_tpu.models.unet import UNet
     from anoddpm_tpu.ops.noise import make_noise_sampler
@@ -75,10 +75,15 @@ def run_bench(batch: int, t_distance: int = 250, img: int = 256,
         fb(params, x, jax.random.key(999))[0].block_until_ready()
     t0 = time.time()
     for i in range(repeats):
-        recon, _ = fb(params, x, jax.random.key(i))
-        recon.block_until_ready()
-    dt = (time.time() - t0) / repeats
-    return batch / dt, dt
+        # recon_repeats > 1: the anomaly map averages k independent
+        # reconstructions (detect.anomalous_metric_calculation semantics,
+        # mirroring reference detection.py:114-128) — all k dispatches are
+        # part of producing ONE anomaly map, so throughput divides by k
+        for j in range(recon_repeats):
+            recon, _ = fb(params, x, jax.random.key(i * 131 + j))
+            recon.block_until_ready()
+    dt = (time.time() - t0) / repeats / recon_repeats
+    return batch / (dt * recon_repeats), dt
 
 
 def run_train_bench(batch: int = 8, img: int = 256, base_channels: int = 128,
@@ -134,26 +139,30 @@ def main():
     quick = os.environ.get("BENCH_QUICK") == "1"
     batch = int(os.environ.get("BENCH_BATCH", "4" if quick else "32"))
     t_distance = 50 if quick else 250
-    ddim_steps = int(os.environ.get("BENCH_DDIM_STEPS", "25"))
+    ddim_steps = int(os.environ.get("BENCH_DDIM_STEPS", "15"))
     ddim_eta = float(os.environ.get("BENCH_DDIM_ETA", "1.0"))
     base = int(os.environ.get("BENCH_BASE_CHANNELS", "64"))
     s2d = int(os.environ.get("BENCH_S2D", "2"))
+    recon_reps = int(os.environ.get("BENCH_RECON_REPEATS", "1"))
 
     # Headline: the quality-validated production config — base-64 UNet with
-    # a 2x2 space-to-depth stem + stochastic DDIM-25 + bf16 GroupNorm.
-    # Seed-replicated quality (3 fresh trainings per cell,
-    # results/seed_replication.json): this config Dice .173+-.010 vs paper
-    # protocol .164+-.010 (parity or better), AUC .735+-.020 vs .751+-.004
-    # (-1.6 pts, within this cell's own 1-sigma spread).
+    # a 2x2 space-to-depth stem + stochastic DDIM-15 + bf16 GroupNorm.
+    # Seed-replicated quality at n=5 fresh end-to-end trainings per cell
+    # (results/seed_replication.json): AUC .734+-.014 vs paper-config
+    # full-DDPM protocol .742+-.017 (within 1 sigma of both spreads),
+    # Dice .156+-.006 vs .157+-.020 (parity).  NOTE: quality seeds were
+    # trained with fp32 GroupNorm; the bf16_norm twin matched at n=1
+    # (results/bf16_norm_ab.json).
     ddim_sps, _ = run_bench(batch, t_distance=t_distance,
                             base_channels=base, space_to_depth=s2d,
-                            ddim_steps=ddim_steps, ddim_eta=ddim_eta)
+                            ddim_steps=ddim_steps, ddim_eta=ddim_eta,
+                            recon_repeats=recon_reps)
     result = {
         "metric": f"256^2 MRI slices/sec/chip (lambda={t_distance} partial "
                   f"diffusion, base-{base} s2d-{s2d} UNet, DDIM-{ddim_steps} "
-                  f"eta={ddim_eta} reverse, simplex; seed-replicated "
-                  "Dice-parity vs paper-config full-DDPM protocol, AUC "
-                  "-1.6pt — results/seed_replication.json)",
+                  f"eta={ddim_eta} reverse, simplex; seed-replicated n=5 "
+                  "AUC/Dice parity within 1 sigma of the paper-config "
+                  "full-DDPM protocol — results/seed_replication.json)",
         "value": round(ddim_sps, 3),
         "unit": "slices/sec/chip",
         "vs_baseline": round(ddim_sps / 50.0, 3),

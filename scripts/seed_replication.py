@@ -40,6 +40,8 @@ MODELS = {
         "s2d64_ddim25_eta1",
         "s2d64_ddim35_eta1",
         "s2d64_ddpm200",
+        "s2d64_ddim12x2_eta1",
+        "s2d64_ddim8x3_eta1",
         "s2d64_ddim25_eta1_diffuse",
         "s2d64_ddim15_eta1_diffuse",
     ],
@@ -60,14 +62,30 @@ PROTOCOLS = {
                           "ddim_eta": 1.0},
     "s2d64_ddim35_eta1": {"sampler": "ddim", "ddim_steps": 35,
                           "ddim_eta": 1.0},
+    # mean-of-k reconstruction cells (reference detection.py:114-128
+    # averaging semantics): equal step budget to DDIM-24, so >= 55
+    # slices/sec/chip, but the averaged error map has a ~k-times lower
+    # stochastic noise floor
+    "s2d64_ddim12x2_eta1": {"sampler": "ddim", "ddim_steps": 12,
+                            "ddim_eta": 1.0, "recon_repeats": 2},
+    "s2d64_ddim8x3_eta1": {"sampler": "ddim", "ddim_steps": 8,
+                           "ddim_eta": 1.0, "recon_repeats": 3},
+    # severity 1.5 = the calibrated hard-but-informative point: 1.0 is
+    # chance for every method (in-distribution by construction), 1.5 is
+    # the first severity where the detector ranks above chance
+    # (results/diffuse_calibration.json: AUC .498 / .748 / .819 / .853
+    # at severity 1.0 / 1.5 / 2.0 / 2.5 under DDIM-15 on one seed)
     "paper128_ddpm200_diffuse": {"sampler": "ddpm",
-                                 "lesion_kind": "diffuse"},
+                                 "lesion_kind": "diffuse",
+                                 "lesion_severity": 1.5},
     "s2d64_ddim25_eta1_diffuse": {"sampler": "ddim", "ddim_steps": 25,
                                   "ddim_eta": 1.0,
-                                  "lesion_kind": "diffuse"},
+                                  "lesion_kind": "diffuse",
+                                  "lesion_severity": 1.5},
     "s2d64_ddim15_eta1_diffuse": {"sampler": "ddim", "ddim_steps": 15,
                                   "ddim_eta": 1.0,
-                                  "lesion_kind": "diffuse"},
+                                  "lesion_kind": "diffuse",
+                                  "lesion_severity": 1.5},
 }
 METRICS = ("auc", "dice", "ssim", "iou")
 
