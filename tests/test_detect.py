@@ -182,3 +182,27 @@ def test_anomalous_validation_full_recipe(tiny_model, tmp_path, monkeypatch):
     slice_dirs = os.listdir(os.path.join(base, vols[0]))
     # per-slice artifact dirs + per-slice detection_B dirs
     assert len(slice_dirs) >= 2
+
+
+def test_roc_cli_lesion_severity_override(monkeypatch):
+    """`roc ... LESION=<kind>[:<severity>]` forwards the parsed override to
+    roc_data (detection.py ROC driver; severity per
+    results/diffuse_calibration.json)."""
+    from anoddpm_tpu import detect as D
+
+    calls = {}
+
+    def fake_roc_data(tokens, use_checkpoint=False, ce_token=None,
+                      args_override=None):
+        calls.update(tokens=tokens, ce_token=ce_token,
+                     args_override=args_override)
+
+    monkeypatch.setattr(D, "roc_data", fake_roc_data)
+    D.main(["tokA", "roc", "tokB", "CE=ce_cfg", "LESION=diffuse:1.5"])
+    assert calls["tokens"] == ["tokA", "tokB"]
+    assert calls["ce_token"] == "ce_cfg"
+    assert calls["args_override"] == {"lesion_kind": "diffuse",
+                                      "lesion_severity": 1.5}
+    # bare kind (no severity) keeps the dataset default
+    D.main(["tokA", "roc", "LESION=diffuse"])
+    assert calls["args_override"] == {"lesion_kind": "diffuse"}
