@@ -474,7 +474,8 @@ def _write_metrics_csv(root_dir: str, arg_num, summary) -> None:
 def graph_data(args=None, root_dir: str = ".", token: Optional[str] = None,
                lambdas=None, max_volumes: int = 4,
                use_checkpoint: bool = False, dense: bool = False,
-               lambda_batch: int = 128, slice_index: int = 1):
+               lambda_batch: int = 128, slice_index: int = 1,
+               lambda_step: int = 1):
     """Per-lambda metric curves (detection.py:290-428 `graph_data`).
 
     Per-volume artifacts at reference shape: `metrics/ARGS={n}/{vol}.csv`
@@ -499,7 +500,7 @@ def graph_data(args=None, root_dir: str = ".", token: Optional[str] = None,
         args, em, sched = args
     noise_sampler = sampler_from_args(args)
     if lambdas is None:
-        lambdas = (range(0, sched.num_timesteps) if dense
+        lambdas = (range(0, sched.num_timesteps, lambda_step) if dense
                    else range(50, sched.num_timesteps, 50))
     lambdas = [int(t) for t in lambdas]
     max_t = max(lambdas)
@@ -714,7 +715,19 @@ def main(argv=None):
     if mode == "validation":
         anomalous_validation(token=token, use_checkpoint=use_checkpoint)
     elif mode == "graph":
-        graph_data(token=token, use_checkpoint=use_checkpoint)
+        # optional trailing tokens: "DENSE" sweeps every lambda in [0, T)
+        # (reference t_range, detection.py:321); "STEP=<s>" coarsens the
+        # dense grid to every s-th lambda; "VOLS=<n>" bounds the volume
+        # count (reference writes metrics/ARGS={n}/{vol}.csv per volume)
+        gkw = {}
+        for a in argv[2:]:
+            if a == "DENSE":
+                gkw["dense"] = True
+            elif a.startswith("STEP="):
+                gkw["lambda_step"] = int(a[5:])
+            elif a.startswith("VOLS="):
+                gkw["max_volumes"] = int(a[5:])
+        graph_data(token=token, use_checkpoint=use_checkpoint, **gkw)
     elif mode == "roc":
         # trailing "CE=<cfg>" adds the context-encoder baseline curve;
         # "LESION=<kind>[:<severity>]" evaluates every curve on that
