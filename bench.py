@@ -177,8 +177,12 @@ def main():
                                   ddim_eta=ddim_eta)
         result["paper_config_ddpm_full_chain"] = round(paper_ddpm, 3)
         result["paper_config_ddim"] = round(paper_ddim, 3)
-        # training throughput on the paper config (fused-substep dispatch)
-        train_ips, train_mfu = run_train_bench()
+        # training throughput on the paper config (fused-substep dispatch).
+        # batch 32: the MFU-probe matrix (results/mfu_push.jsonl, round 3)
+        # measured 68.6% MFU at batch 32 vs 62.6% at batch 16 — doubling
+        # the batch amortises layout copies + GN statistics over 2x the
+        # MXU work at equal imgs/sec; batch 64 host-OOMs on the relay.
+        train_ips, train_mfu = run_train_bench(batch=32)
         result["train_imgs_per_sec_chip_paper_config"] = round(train_ips, 2)
         result["train_mfu_paper_config"] = round(train_mfu, 3)
     print(json.dumps(result))
