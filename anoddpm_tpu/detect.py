@@ -727,6 +727,11 @@ def main(argv=None):
                 gkw["lambda_step"] = int(a[5:])
             elif a.startswith("VOLS="):
                 gkw["max_volumes"] = int(a[5:])
+            elif a.startswith("LB="):
+                # lambda_batch: how many lambdas ride the batch axis per
+                # dispatch. 128x256^2 through the full masked reverse scan
+                # crashed the v5e worker (HBM) — use <=32 on one chip.
+                gkw["lambda_batch"] = int(a[3:])
         graph_data(token=token, use_checkpoint=use_checkpoint, **gkw)
     elif mode == "roc":
         # trailing "CE=<cfg>" adds the context-encoder baseline curve;
