@@ -86,33 +86,46 @@ def make_schedule(betas: np.ndarray) -> Schedule:
     alphas_cumprod = np.cumprod(alphas, axis=0)
     alphas_cumprod_prev = np.append(1.0, alphas_cumprod[:-1])
 
-    posterior_variance = betas * (1.0 - alphas_cumprod_prev) / (1.0 - alphas_cumprod)
-    # Clipped because the posterior variance is 0 at t=0.
+    # All sqrt/log/recip buffers are computed through clipped intermediates so
+    # degenerate schedules (betas >= 1 at small linear T — warned above — or
+    # T=1 where the posterior variance is identically 0) yield finite buffers
+    # instead of NaN/-inf RuntimeWarnings.  For well-formed schedules the
+    # clips are no-ops.
+    tiny = np.finfo(np.float64).tiny
+    alphas_pos = np.clip(alphas, 0.0, None)
+    # Floor chosen so sqrt(1/acp) stays finite after the float32 cast.
+    acp_pos = np.clip(alphas_cumprod, 1e-20, None)
+    one_minus_acp = np.clip(1.0 - alphas_cumprod, tiny, None)
+
+    posterior_variance = betas * (1.0 - alphas_cumprod_prev) / one_minus_acp
+    # Clipped because the posterior variance is 0 at t=0 (at T=1 there is no
+    # t=1 entry to borrow, so the t=0 value is used).
+    pv1 = posterior_variance[min(1, len(betas) - 1)]
     posterior_log_variance_clipped = np.log(
-        np.append(posterior_variance[1], posterior_variance[1:])
+        np.clip(np.append(pv1, posterior_variance[1:]), tiny, None)
     )
-    model_variance = np.append(posterior_variance[1], betas[1:])
+    model_variance = np.append(pv1, betas[1:])
 
     f32 = lambda a: jnp.asarray(a, dtype=jnp.float32)
     return Schedule(
         betas=f32(betas),
-        sqrt_alphas=f32(np.sqrt(alphas)),
-        sqrt_betas=f32(np.sqrt(betas)),
+        sqrt_alphas=f32(np.sqrt(alphas_pos)),
+        sqrt_betas=f32(np.sqrt(np.clip(betas, 0.0, None))),
         alphas_cumprod=f32(alphas_cumprod),
         alphas_cumprod_prev=f32(alphas_cumprod_prev),
-        sqrt_alphas_cumprod=f32(np.sqrt(alphas_cumprod)),
-        sqrt_one_minus_alphas_cumprod=f32(np.sqrt(1.0 - alphas_cumprod)),
-        log_one_minus_alphas_cumprod=f32(np.log(1.0 - alphas_cumprod)),
-        sqrt_recip_alphas_cumprod=f32(np.sqrt(1.0 / alphas_cumprod)),
-        sqrt_recipm1_alphas_cumprod=f32(np.sqrt(1.0 / alphas_cumprod - 1.0)),
+        sqrt_alphas_cumprod=f32(np.sqrt(acp_pos)),
+        sqrt_one_minus_alphas_cumprod=f32(np.sqrt(one_minus_acp)),
+        log_one_minus_alphas_cumprod=f32(np.log(one_minus_acp)),
+        sqrt_recip_alphas_cumprod=f32(np.sqrt(1.0 / acp_pos)),
+        sqrt_recipm1_alphas_cumprod=f32(np.sqrt(np.clip(1.0 / acp_pos - 1.0, 0.0, None))),
         posterior_variance=f32(posterior_variance),
         posterior_log_variance_clipped=f32(posterior_log_variance_clipped),
-        posterior_mean_coef1=f32(betas * np.sqrt(alphas_cumprod_prev) / (1.0 - alphas_cumprod)),
+        posterior_mean_coef1=f32(betas * np.sqrt(np.clip(alphas_cumprod_prev, 0.0, None)) / one_minus_acp),
         posterior_mean_coef2=f32(
-            (1.0 - alphas_cumprod_prev) * np.sqrt(alphas) / (1.0 - alphas_cumprod)
+            (1.0 - alphas_cumprod_prev) * np.sqrt(alphas_pos) / one_minus_acp
         ),
         model_variance=f32(model_variance),
-        model_log_variance=f32(np.log(model_variance)),
+        model_log_variance=f32(np.log(np.clip(model_variance, tiny, None))),
     )
 
 

@@ -61,3 +61,27 @@ def test_schedule_is_pytree():
     leaves = jax.tree_util.tree_leaves(s)
     assert len(leaves) == 16
     assert s.num_timesteps == 10
+
+
+def test_edge_T_buffers_finite_and_warning_free():
+    """T=1 / T=2 and degenerate beta>=1 schedules build finite buffers with no
+    numpy RuntimeWarnings (reference formula yields NaN there; VERDICT r3 #7)."""
+    import warnings
+
+    for T, name in [(1, "cosine"), (2, "cosine"), (2, "linear"), (10, "linear")]:
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            s = make_schedule(get_beta_schedule(T, name))
+        numpy_warns = [x for x in w if "invalid value" in str(x.message)
+                       or "divide by zero" in str(x.message)]
+        assert not numpy_warns, (T, name, [str(x.message) for x in numpy_warns])
+        for leaf_name in (
+            "sqrt_alphas", "sqrt_betas", "sqrt_alphas_cumprod",
+            "sqrt_one_minus_alphas_cumprod", "log_one_minus_alphas_cumprod",
+            "sqrt_recip_alphas_cumprod", "sqrt_recipm1_alphas_cumprod",
+            "posterior_variance", "posterior_log_variance_clipped",
+            "posterior_mean_coef1", "posterior_mean_coef2",
+            "model_variance", "model_log_variance",
+        ):
+            arr = np.asarray(getattr(s, leaf_name))
+            assert np.isfinite(arr).all(), (T, name, leaf_name, arr)
