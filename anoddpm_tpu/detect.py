@@ -18,6 +18,7 @@ from __future__ import annotations
 import os
 import sys
 import time
+import weakref
 from typing import Dict, Optional
 
 import jax
@@ -34,6 +35,43 @@ from .models.unet import unet_from_args
 from .ops.noise import make_noise_sampler, sampler_from_args
 from .schedule import schedule_from_args
 from .training import EvalModel, jit_with_params
+
+
+# Cross-call program cache (VERDICT r3 #3): detection_A/B are invoked once
+# per slice by anomalous_validation (the reference recipe loops slices,
+# detection.py:17-153), and before this cache every invocation re-traced the
+# up-to-600-step reverse scan for every lambda — hundreds of avoidable
+# compiles per validation drive.  Keyed weakly on the EvalModel (programs die
+# with the model); the per-model key must capture every static degree of
+# freedom of the jitted closure: chain length, sampler kind+params, sequence
+# mode, and a schedule fingerprint.
+_fb_programs: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _sched_fp(sched) -> tuple:
+    """Cheap content fingerprint of a Schedule for cache keys."""
+    return (sched.num_timesteps, float(sched.betas[0]),
+            float(sched.betas[-1]))
+
+
+def _cached_program(em, cache_key, fn_of_modelfn):
+    """One compiled program per (EvalModel, cache_key) across ALL calls.
+
+    The miss path goes through the module-global `jit_with_params` so tests
+    can count real compiles by monkeypatching it."""
+    per_model = _fb_programs.get(em)
+    if per_model is None:
+        per_model = {}
+        _fb_programs[em] = per_model
+    if cache_key not in per_model:
+        per_model[cache_key] = jit_with_params(em, fn_of_modelfn)
+    return per_model[cache_key]
+
+
+def clear_program_cache() -> None:
+    """Drop all cached detection programs (tests; frees compiled XLA
+    executables)."""
+    _fb_programs.clear()
 
 
 def _load_eval_model(root_dir: str, token: str, use_checkpoint: bool = False):
@@ -70,7 +108,11 @@ def evaluate_anomaly_batch(em, sched, images, masks, key,
     if masks.ndim == 3:
         masks = masks[None]
     if fb_jit is None:
-        fb_jit = jit_with_params(em, lambda mf: lambda x, k:
+        # keyed on the sampler OBJECT: callers that reuse a sampler across
+        # calls hit the cache; distinct samplers get their own program
+        fb_jit = _cached_program(
+            em, ("eval_batch", t_distance, noise_sampler, _sched_fp(sched)),
+            lambda mf: lambda x, k:
             dmod.forward_backward(mf, sched, x, t_distance, k,
                                   noise_sampler=noise_sampler,
                                   denoise_sampler=noise_sampler))
@@ -191,20 +233,20 @@ def detection_A(args, em, sched, x_0, mask, file_id, root_dir: str = ".",
     # scalar instead of being baked into the jitted closure — 7x fewer
     # compiles of the up-to-600-step reverse scan (VERDICT round-2 item 2).
     gauss = make_noise_sampler("gauss")
-    fb_cache = {}
 
+    # cross-call cache: anomalous_validation calls detection_A once per
+    # slice; each unique chain length compiles ONCE per model, ever
     def fb_for(t_distance):
-        if t_distance not in fb_cache:
-            fb_cache[t_distance] = jit_with_params(
-                em, lambda mf: lambda x, k, freq:
-                dmod.forward_backward(
-                    mf, sched, x, t_distance, k,
-                    noise_sampler=make_noise_sampler("simplex",
-                                                     frequency=freq),
-                    # reverse-step noise is gaussian, as in the reference's
-                    # sample_p default (GaussianDiffusion.py:506-509)
-                    denoise_sampler=gauss))
-        return fb_cache[t_distance]
+        return _cached_program(
+            em, ("A", t_distance, _sched_fp(sched)),
+            lambda mf: lambda x, k, freq:
+            dmod.forward_backward(
+                mf, sched, x, t_distance, k,
+                noise_sampler=make_noise_sampler("simplex",
+                                                 frequency=freq),
+                # reverse-step noise is gaussian, as in the reference's
+                # sample_p default (GaussianDiffusion.py:506-509)
+                denoise_sampler=gauss))
 
     for i in range(7, 0, -1):
         freq = jnp.float32(2 ** i)
@@ -246,12 +288,17 @@ def detection_B(args, em, sched, x_0, mask, file_id,
         end = int(int(args["T"]) * 0.8)
         sampler = make_noise_sampler("gauss")
     x_0 = jnp.asarray(x_0)
+    gauss = make_noise_sampler("gauss")
     dice_scores = []
     for t_distance in range(50, end, 50):
-        fb = jit_with_params(em, lambda mf: lambda x, k:
-            dmod.forward_backward(mf, sched, x, t_distance, k,
+        # cross-call cache: the per-lambda program was previously rebuilt on
+        # EVERY detection_B call (once per slice under anomalous_validation)
+        fb = _cached_program(
+            em, ("B", t_distance, denoise_fn, _sched_fp(sched)),
+            lambda mf, td=t_distance: lambda x, k:
+            dmod.forward_backward(mf, sched, x, td, k,
                                   noise_sampler=sampler,
-                                  denoise_sampler=make_noise_sampler("gauss")))
+                                  denoise_sampler=gauss))
         recons = []
         for _ in range(total_avg):
             key, sub = jax.random.split(key)
@@ -334,15 +381,20 @@ def anomalous_validation(args=None, root_dir: str = ".",
     sample_distance = int(args.get("sample_distance") or sched.num_timesteps)
     lo, hi = ((0.3, 0.8) if noise_kind == "gauss" else (0.1, 0.6))
     quantum = 50 if sample_distance >= 100 else 1
-    fb_cache = {}
+    # sampler parameters (not the fresh closure object) key the cross-call
+    # cache so repeated validation drives reuse the compiled chains
+    sampler_fp = (str(args.get("noise_fn", "gauss") or "gauss"),
+                  int(args.get("simplex_octaves", 6) or 6),
+                  float(args.get("simplex_persistence", 0.8) or 0.8),
+                  float(args.get("simplex_frequency", 64) or 64))
 
     def fb_for(td):
-        if td not in fb_cache:
-            fb_cache[td] = jit_with_params(em, lambda mf: lambda xx, k:
-                dmod.forward_backward(mf, sched, xx, td, k,
-                                      noise_sampler=noise_sampler,
-                                      see_whole_sequence="whole"))
-        return fb_cache[td]
+        return _cached_program(
+            em, ("val_whole", td, sampler_fp, _sched_fp(sched)),
+            lambda mf: lambda xx, k:
+            dmod.forward_backward(mf, sched, xx, td, k,
+                                  noise_sampler=noise_sampler,
+                                  see_whole_sequence="whole"))
 
     dice_data = []
     start = time.time()
@@ -471,11 +523,21 @@ def _write_metrics_csv(root_dir: str, arg_num, summary) -> None:
         f.write("\n")
 
 
+def _auto_lambda_batch(img_size: int) -> int:
+    """HBM-safe default for graph_data's lambda batch.
+
+    LB=128 at 256^2 through the masked reverse scan OOMed the one-chip v5e
+    worker (round-3 drive); 32 completes.  Scale inversely with pixel count
+    from that anchor, clamped to [8, 128]."""
+    scale = (256 * 256) / float(max(int(img_size), 1) ** 2)
+    return int(max(8, min(128, 32 * scale)))
+
+
 def graph_data(args=None, root_dir: str = ".", token: Optional[str] = None,
                lambdas=None, max_volumes: int = 4,
                use_checkpoint: bool = False, dense: bool = False,
-               lambda_batch: int = 128, slice_index: int = 1,
-               lambda_step: int = 1):
+               lambda_batch: Optional[int] = None, slice_index: int = 1,
+               lambda_step: int = 1, mesh=None):
     """Per-lambda metric curves (detection.py:290-428 `graph_data`).
 
     Per-volume artifacts at reference shape: `metrics/ARGS={n}/{vol}.csv`
@@ -503,8 +565,19 @@ def graph_data(args=None, root_dir: str = ".", token: Optional[str] = None,
         lambdas = (range(0, sched.num_timesteps, lambda_step) if dense
                    else range(50, sched.num_timesteps, 50))
     lambdas = [int(t) for t in lambdas]
+    if not lambdas:  # e.g. dense=False with T <= 50: empty 50-step grid
+        print("graph_data: empty lambda grid (T too short for the 50-step "
+              "grid) — nothing to sweep", flush=True)
+        return []
     max_t = max(lambdas)
+    if lambda_batch is None:
+        img = args.get("img_size") or (256, 256)
+        img = img[0] if isinstance(img, (tuple, list)) else int(img)
+        lambda_batch = _auto_lambda_batch(img)
     lambda_batch = min(lambda_batch, len(lambdas))
+    if mesh is not None:  # the lambda-batch axis shards over 'data'
+        n_dev = mesh.devices.size
+        lambda_batch = -(-lambda_batch // n_dev) * n_dev
     d_set = anomalous_dataset_from_args(root_dir, args)
     n = min(len(d_set), max_volumes)
 
@@ -536,6 +609,10 @@ def graph_data(args=None, root_dir: str = ".", token: Optional[str] = None,
             lamv = jnp.asarray(lam_chunk + lam_chunk[:1] * pad, jnp.int32)
             x_rep = jnp.broadcast_to(jnp.asarray(x0),
                                      (lambda_batch,) + x0.shape[1:])
+            if mesh is not None:  # data-parallel lambda sweep over the mesh
+                from .parallel.mesh import batch_sharding
+                lamv = jax.device_put(lamv, batch_sharding(mesh, 1))
+                x_rep = jax.device_put(x_rep, batch_sharding(mesh, 4))
             key, sub = jax.random.split(key)
             recon = np.asarray(fb(x_rep, lamv, sub))
             got = len(lam_chunk)
@@ -597,7 +674,7 @@ def _per_volume_lambda_plot(lambdas, curves, path):
 def roc_data(tokens, labels=None, root_dir: str = ".",
              t_distance: int = 200, max_volumes: Optional[int] = None,
              use_checkpoint: bool = False, ce_token: Optional[str] = None,
-             ce_train_steps: int = 2000, args_override=None):
+             ce_train_steps: int = 2000, args_override=None, mesh=None):
     """Multi-method pixel ROC comparison -> CSV + figure
     (detection.py:431-680 `roc_data` — the reference's 4-way
     simplex/hybrid/gauss/GAN-CE plot).
@@ -634,7 +711,19 @@ def roc_data(tokens, labels=None, root_dir: str = ".",
             if images.ndim == 3:
                 images, masks = images[None], masks[None]
             key, sub = jax.random.split(key)
-            recon, _ = fb(jnp.asarray(images), sub)
+            if mesh is not None:  # slice batch sharded over 'data'
+                from .parallel.mesh import batch_sharding
+                n_dev = mesh.devices.size
+                pad = (-images.shape[0]) % n_dev
+                block = (np.concatenate(
+                    [images, np.resize(images, (pad,) + images.shape[1:])])
+                    if pad else images)
+                x_in = jax.device_put(jnp.asarray(block),
+                                      batch_sharding(mesh, 4))
+                recon, _ = fb(x_in, sub)
+                recon = np.asarray(recon)[:images.shape[0]]
+            else:
+                recon, _ = fb(jnp.asarray(images), sub)
             mse = (images - np.asarray(recon)) ** 2
             all_scores.append(mse.reshape(-1))
             all_labels.append(masks.reshape(-1))
@@ -728,9 +817,9 @@ def main(argv=None):
             elif a.startswith("VOLS="):
                 gkw["max_volumes"] = int(a[5:])
             elif a.startswith("LB="):
-                # lambda_batch: how many lambdas ride the batch axis per
-                # dispatch. 128x256^2 through the full masked reverse scan
-                # crashed the v5e worker (HBM) — use <=32 on one chip.
+                # lambda_batch override: how many lambdas ride the batch axis
+                # per dispatch.  Default auto-sizes from image footprint
+                # (32 at 256^2 — 128 OOMed the one-chip v5e worker).
                 gkw["lambda_batch"] = int(a[3:])
         graph_data(token=token, use_checkpoint=use_checkpoint, **gkw)
     elif mode == "roc":
