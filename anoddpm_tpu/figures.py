@@ -156,6 +156,50 @@ def ano_outputs(args, em, sched, root_dir: str = ".", n_attempts: int = 3,
             np.concatenate(seq_rows, axis=0), row_size=n_cols)
 
 
+def ce_outputs(args, ce_model=None, ce_params=None, root_dir: str = ".",
+               n_attempts: int = 3, rows: int = 2, window: int = 4,
+               ce_train_steps: int = 2000, threshold: float = 0.5):
+    """Context-encoder baseline output sheets (generate_images.py:935-1056
+    `make_gan_outputs`): per attempt, `rows` anomalous slices are
+    reconstructed by the sliding-window CE and rendered as
+    (x_0, reconstruction, square error, prediction, ground-truth mask) rows
+    — the reference's 5-panel sheet — written to
+    final-outputs/ARGS={n}/ce-attempt={k}-predictions.png.
+
+    The reference's own CE figure path imports code absent from its repo
+    (Comparative_models/CE.py, SURVEY.md §2.2); this renders the same sheet
+    from the framework's working baseline (models/context_encoder.py).
+    Pass a trained (ce_model, ce_params) to reuse one; otherwise the CE is
+    trained on the config's healthy set for `ce_train_steps` steps.
+    """
+    from .baselines import train_context_encoder
+    from .models.context_encoder import sliding_window_inpaint
+    if ce_params is None:
+        ce_model, ce_params = train_context_encoder(args, root_dir=root_dir,
+                                                    steps=ce_train_steps)
+    inpaint = jax.jit(lambda x: sliding_window_inpaint(ce_model, ce_params,
+                                                       x, window))
+    out_dir = os.path.join(_out_dir(root_dir), f"ARGS={args['arg_num']}")
+    os.makedirs(out_dir, exist_ok=True)
+    for attempt in range(n_attempts):
+        sheet = []
+        for r in range(rows):
+            x, mask = _first_slice(args, root_dir, index=attempt * rows + r)
+            x = np.asarray(x)
+            mask_panel = (mask if mask is not None
+                          else np.zeros(x.shape, np.float32))
+            recon = np.asarray(inpaint(jnp.asarray(x)))
+            # square-error and naive-threshold prediction panels in [-1, 1]
+            # display range (generate_images.py:1012-1015 convention)
+            mse = ((recon - x) ** 2 * 2) - 1
+            pred = (((recon - x) ** 2 > threshold).astype(np.float32) * 2) - 1
+            sheet.append(np.concatenate([x, recon, mse, pred, mask_panel],
+                                        axis=0))
+        vz.save_grid_png(
+            os.path.join(out_dir, f"ce-attempt={attempt + 1}-predictions.png"),
+            np.concatenate(sheet, axis=0), row_size=5)
+
+
 def test_set_outputs(simplex_token, gauss_token, root_dir: str = ".",
                      anomalous: bool = False, t_distance: int = 250,
                      n_attempts: int = 2, use_checkpoint: bool = False):
@@ -342,9 +386,18 @@ def main(argv=None):
             f"usage: python -m anoddpm_tpu.figures <ARG_NUM> "
             f"[{'|'.join(GENERATORS)}|all]\n"
             f"       python -m anoddpm_tpu.figures <SIMPLEX_ARG_NUM> "
-            f"test_set <GAUSS_ARG_NUM> [anomalous]")
+            f"test_set <GAUSS_ARG_NUM> [anomalous]\n"
+            f"       python -m anoddpm_tpu.figures <ARG_NUM> ce "
+            f"[train_steps]")
     token = argv[0]
     which = argv[1] if len(argv) > 1 else "all"
+    if which == "ce":
+        # CE baseline sheet needs only the config (no diffusion checkpoint):
+        # trains the working context-encoder, then renders the 5-panel rows
+        from .config import load_args
+        steps = int(argv[2]) if len(argv) > 2 else 2000
+        ce_outputs(load_args(token), ce_train_steps=steps)
+        return
     if which == "test_set":
         # Fig-1 needs TWO checkpoints (generate_images.py:554-557 hardcodes
         # args 28/26); here both are CLI tokens

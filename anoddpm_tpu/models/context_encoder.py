@@ -114,3 +114,28 @@ def sliding_window_error(model: ContextEncoder, params, images: jax.Array,
 
     return jax.lax.fori_loop(0, window * window, cell,
                              jnp.zeros_like(images))
+
+
+def sliding_window_inpaint(model: ContextEncoder, params,
+                           images: jax.Array, window: int = 4) -> jax.Array:
+    """Full-image CE reconstruction: each grid cell is occluded in turn and
+    replaced by its inpainted content.  Reconstruction counterpart of
+    `sliding_window_error` for the baseline figure sheets (the reference
+    reconstructs via `ce_sliding_window` before plotting,
+    generate_images.py:935-1056)."""
+    b, h, w, c = images.shape
+    step_h, step_w = h // window, w // window
+
+    def cell(idx, acc):
+        gy = idx // window
+        gx = idx % window
+        yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+        xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+        m = ((yy >= gy * step_h) & (yy < (gy + 1) * step_h)
+             & (xx >= gx * step_w) & (xx < (gx + 1) * step_w))
+        mask = jnp.broadcast_to(m.astype(jnp.float32)[None, ..., None],
+                                (b, h, w, 1))
+        recon = model.apply(params, images, mask)
+        return acc * (1.0 - mask) + recon * mask
+
+    return jax.lax.fori_loop(0, window * window, cell, images)

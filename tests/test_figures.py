@@ -103,3 +103,39 @@ def test_test_set_outputs_two_checkpoints(tmp_path):
                        t_distance=5, n_attempts=1)
     d = os.path.join(root, "final-outputs", "ARGS=figsx")
     assert any("test_set_mixed" in f for f in os.listdir(d))
+
+
+def test_ce_outputs_sheet(bundle):
+    """CE baseline output sheet (generate_images.py:935-1056
+    `make_gan_outputs` counterpart, VERDICT r3 #6): renders
+    (x_0, recon, sq-err, prediction, mask) rows per attempt from a trained
+    context encoder — no diffusion checkpoint involved."""
+    from anoddpm_tpu.baselines import train_context_encoder
+    args, _, _, root = bundle
+    ce_model, ce_params = train_context_encoder(args, root_dir=root,
+                                                steps=3, batch_size=4,
+                                                base_channels=16)
+    F.ce_outputs(args, ce_model, ce_params, root_dir=root, n_attempts=2,
+                 rows=2)
+    out_dir = os.path.join(root, "final-outputs", "ARGS=figtest")
+    sheets = [f for f in os.listdir(out_dir)
+              if f.startswith("ce-attempt=") and f.endswith("-predictions.png")]
+    assert len(sheets) == 2
+
+
+def test_sliding_window_inpaint_roundtrip():
+    """Inpaint composite: every grid cell gets replaced, output is finite
+    and differs from the input for an untrained net."""
+    from anoddpm_tpu.data.synthetic import SyntheticAnomalyDataset
+    from anoddpm_tpu.models.context_encoder import (ContextEncoder,
+                                                    sliding_window_inpaint)
+    model = ContextEncoder(base_channels=16, levels=2)
+    ano = SyntheticAnomalyDataset(img_size=(32, 32), length=1)
+    images = jnp.asarray(ano[0]["image"][:2])
+    params = jax.jit(model.init)(jax.random.key(0), images,
+                                 jnp.zeros(images.shape[:3] + (1,)))
+    recon = np.asarray(sliding_window_inpaint(model, params, images,
+                                              window=4))
+    assert recon.shape == images.shape
+    assert np.isfinite(recon).all()
+    assert np.abs(recon - np.asarray(images)).max() > 1e-4
