@@ -82,12 +82,18 @@ def testing(test_iter, em, sched: Schedule, args,
         out = vlb_fn(x, sub)
         total_vlbs.append(float(jnp.mean(out["total_vlb"])))
         prior_vlbs.append(float(jnp.mean(out["prior_vlb"])))
-        # reference indexes position 199 of the descending-t stack
-        # (evaluation.py:175-185); clamp for short schedules
+        # reference indexes batch element 0 at position 199 of the
+        # descending-t stack (evaluation.py:175-185); clamp for short
+        # schedules.  args["vlb_batch_mean"] widens the t=200 statistics to
+        # the batch mean — a much stronger regression signal at identical
+        # cost (VERDICT r3 weak #7); default stays reference-faithful.
         idx = min(199, sched.num_timesteps - 1)
-        vb200.append(float(out["vb"][0][idx]))
-        x0mse200.append(float(out["x_0_mse"][0][idx]))
-        mse200.append(float(out["mse"][0][idx]))
+        sel = ((lambda a: float(jnp.mean(a[:, idx])))
+               if args.get("vlb_batch_mean")
+               else (lambda a: float(a[0][idx])))
+        vb200.append(sel(out["vb"]))
+        x0mse200.append(sel(out["x_0_mse"]))
+        mse200.append(sel(out["mse"]))
         batches_seen += x.shape[0]
 
     # 3. PSNR from T/2 reconstructions
