@@ -59,15 +59,25 @@ def make_train_step(model, sched: Schedule, tx: optax.GradientTransformation,
                     noise_sampler: NoiseSampler, loss_type: str = "l2",
                     max_t: Optional[int] = None, ema_decay: float = 0.9999,
                     loss_weight: str = "none",
-                    dropout: bool = False) -> Callable:
+                    dropout: bool = False,
+                    remat: Optional[str] = None) -> Callable:
     """Build the fused train step.
 
     max_t: upper bound for uniform timestep sampling — min(sample_distance, T)
     when train_start is set (GaussianDiffusion.py:419-427).
+    remat: rematerialisation policy for the UNet forward under grad —
+    None (store all activations), "dots" (save matmul/conv outputs,
+    recompute elementwise chains — trades FLOPs for HBM, unlocking larger
+    batches), or "nothing" (recompute everything).
     """
     if max_t is None:
         max_t = sched.num_timesteps
     weight_table = dm.make_loss_weights(loss_weight, sched.num_timesteps)
+    remat_policy = {
+        None: None,
+        "dots": jax.checkpoint_policies.dots_saveable,
+        "nothing": jax.checkpoint_policies.nothing_saveable,
+    }[remat]
 
     def train_step(state: TrainState, batch: jax.Array,
                    key: jax.Array) -> Tuple[TrainState, Dict[str, jax.Array]]:
@@ -87,6 +97,8 @@ def make_train_step(model, sched: Schedule, tx: optax.GradientTransformation,
                     kwargs = {"rngs": {"dropout": drop_key},
                               "deterministic": False}
                 return model.apply(params, x, tt, **kwargs)
+            if remat_policy is not None:
+                model_fn = jax.checkpoint(model_fn, policy=remat_policy)
             per_sample, aux = dm.calc_loss(model_fn, sched, batch, t,
                                            noise_key, noise_sampler, loss_type)
             return jnp.mean(per_sample * weights), aux
@@ -107,12 +119,15 @@ def make_train_step(model, sched: Schedule, tx: optax.GradientTransformation,
     return train_step
 
 
-def make_multi_step(train_step: Callable, substeps: int) -> Callable:
+def make_multi_step(train_step: Callable, substeps: int,
+                    unroll: int = 1) -> Callable:
     """Fuse `substeps` optimizer steps into one dispatch via lax.scan.
 
     The batch must carry a leading substep axis: (substeps, B, H, W, C).
     Amortises host->device dispatch overhead (significant for small models
     and high-latency runtimes); metrics are averaged over the substeps.
+    unroll: lax.scan unroll factor — unrolled bodies give XLA cross-step
+    scheduling freedom at the cost of program size (MFU probe lever).
     """
     def multi_step(state: TrainState, batches: jax.Array, key: jax.Array):
         def body(carry, batch):
@@ -122,7 +137,7 @@ def make_multi_step(train_step: Callable, substeps: int) -> Callable:
             return (st, k), (m["loss"], m["grad_norm"])
 
         (state_out, _), (losses, gnorms) = jax.lax.scan(
-            body, (state, key), batches)
+            body, (state, key), batches, unroll=unroll)
         metrics = {"loss": jnp.mean(losses), "grad_norm": jnp.mean(gnorms)}
         return state_out, metrics
 

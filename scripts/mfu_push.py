@@ -7,10 +7,20 @@ and print one JSON line.  The levers under test:
   - bf16_norm (GroupNorm elementwise math in bf16; round-2 A/B'd at quality
     parity)
   - XLA_FLAGS (set by the caller; e.g. latency-hiding scheduler)
+  - remat policy (round-4: "dots"/"nothing" trade recompute FLOPs for HBM,
+    unlocking batch sizes between the 32-ok / 64-OOM points)
+  - scan unroll of the fused substeps (round-4: cross-step scheduling
+    freedom for XLA)
 
 Run each config in its own process (XLA flags are read at backend init):
-  python scripts/mfu_push.py <batch> [bf16_norm=1] [base=128] [s2d=1]
+  python scripts/mfu_push.py <batch> [bf16_norm=1] [base=128] [s2d=1] \
+      [remat=none|dots|nothing] [unroll=1]
 Results are appended to results/mfu_push.jsonl by the caller.
+
+Note on MFU accounting under remat: `flops` comes from cost_analysis of the
+compiled SINGLE-step program at the same remat policy, so recompute FLOPs
+count toward the numerator — mfu here measures MXU occupancy, while
+imgs_per_sec remains the end-metric that must improve for a lever to win.
 """
 import json
 import os
@@ -40,6 +50,9 @@ def main():
     bf16_norm = bool(int(sys.argv[2])) if len(sys.argv) > 2 else True
     base = int(sys.argv[3]) if len(sys.argv) > 3 else 128
     s2d = int(sys.argv[4]) if len(sys.argv) > 4 else 1
+    remat = sys.argv[5] if len(sys.argv) > 5 else "none"
+    remat = None if remat == "none" else remat
+    unroll = int(sys.argv[6]) if len(sys.argv) > 6 else 1
     img, T, K = 256, 1000, 8
 
     model = UNet(img_size=img, base_channels=base, in_channels=1,
@@ -52,12 +65,16 @@ def main():
     state = jax.jit(lambda k: init_train_state(
         model, tx, k, (batch, img, img, 1)))(jax.random.key(0))
 
-    step = make_train_step(model, sched, tx, sampler, max_t=800)
-    multi = jax.jit(make_multi_step(step, K), donate_argnums=(0,))
+    step = make_train_step(model, sched, tx, sampler, max_t=800, remat=remat)
+    multi = jax.jit(make_multi_step(step, K, unroll=unroll),
+                    donate_argnums=(0,))
 
     # per-step FLOPs from the single-step program (cost_analysis of the
     # scanned program reports the whole scan)
-    single = jax.jit(step)
+    # donate like the real multi-step: without aliasing the state into the
+    # output, the flops-counting compile carries ~1.9G of dead copies and
+    # OOMs at batches the donated program fits (batch 48 measurement)
+    single = jax.jit(step, donate_argnums=(0,))
     x1 = jnp.zeros((batch, img, img, 1), jnp.float32)
     flops = single.lower(state, x1, jax.random.key(0)).compile(
         ).cost_analysis()["flops"]
@@ -77,6 +94,7 @@ def main():
     mfu = flops / per_step / 1e12 / BF16_PEAK_TFLOPS
     print(json.dumps({
         "batch": batch, "bf16_norm": bf16_norm, "base": base, "s2d": s2d,
+        "remat": remat or "none", "unroll": unroll,
         "xla_flags": os.environ.get("XLA_FLAGS", ""),
         "ms_per_step": round(per_step * 1e3, 2),
         "imgs_per_sec": round(batch / per_step, 1),
