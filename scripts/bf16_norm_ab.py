@@ -153,7 +153,25 @@ def main():
             print(f"infer/{tag}: {res[f'infer/{tag}']}", flush=True)
             _save(res)
     if "--quality" in sys.argv:
-        quality_cell()
+        # optional trailing seed list widens the evidence beyond n=1
+        # (VERDICT r3 weak #5); aggregate recomputed over all seeds present
+        seeds = [int(a) for a in sys.argv[sys.argv.index("--quality") + 1:]
+                 if a.isdigit()] or [0]
+        for s in seeds:
+            quality_cell(seed=s)
+        rep_path = "results/seed_replication.json"
+        rep = json.load(open(rep_path))
+        cell = "s2d64_ddim25_eta1_bf16norm"
+        vals = {m: [v[m] for k, v in rep.items()
+                    if k.startswith(cell + "/seed")]
+                for m in ("auc", "dice", "ssim", "iou")}
+        rep[cell + "/aggregate"] = {
+            m: {"mean": float(np.mean(v)), "std": float(np.std(v)),
+                "n": len(v)} for m, v in vals.items()}
+        with open(rep_path + ".tmp", "w") as f:
+            json.dump(rep, f, indent=1, sort_keys=True)
+        os.replace(rep_path + ".tmp", rep_path)
+        print("aggregate:", json.dumps(rep[cell + "/aggregate"]["auc"]))
 
 
 if __name__ == "__main__":

@@ -126,11 +126,17 @@ def ensure_trained(config: str, seed: int):
     return token
 
 
-def aggregate(res, seeds):
+def aggregate(res, seeds=None):
+    # Aggregate over ALL seeds present in res (not just the CLI list), so a
+    # one-seed catch-up run cannot overwrite an n=5 aggregate with n=1
+    # (ADVICE r3).
+    del seeds
     for cells in MODELS.values():
         for cell in cells:
-            vals = {m: [res[f"{cell}/seed{s}"][m] for s in seeds
-                        if f"{cell}/seed{s}" in res] for m in METRICS}
+            prefix = f"{cell}/seed"
+            keys = sorted(k for k in res if k.startswith(prefix)
+                          and k[len(prefix):].isdigit())
+            vals = {m: [res[k][m] for k in keys] for m in METRICS}
             if not vals["auc"]:
                 continue
             res[f"{cell}/aggregate"] = {

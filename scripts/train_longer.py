@@ -42,13 +42,23 @@ def main():
     seed = int(sys.argv[1])
     epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 1800
     src_token = f"256syn64s2d_s{seed}"
-    token = f"256syn64s2dL_s{seed}"
+    # Epoch target is part of the token so different-length extensions never
+    # reuse each other's checkpoints (ADVICE r3).
+    token = f"256syn64s2dL{epochs}_s{seed}"
 
     res = json.load(open(RESULTS)) if os.path.exists(RESULTS) else {}
 
-    final = os.path.join("model", f"diff-params-ARGS={token}",
-                         "params-final", "payload.msgpack")
-    if not os.path.exists(final):
+    # Gate on the checkpoint's recorded epoch count, not file existence: the
+    # copytree below copies the source params-final, so the file exists long
+    # before the extension has actually trained (ADVICE r3, medium).
+    final_dir = os.path.join("model", f"diff-params-ARGS={token}",
+                             "params-final")
+    meta_path = os.path.join(final_dir, "meta.json")
+    trained = False
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            trained = json.load(f).get("n_epoch", 0) >= epochs
+    if not trained:
         src = os.path.join("model", f"diff-params-ARGS={src_token}")
         dst = os.path.join("model", f"diff-params-ARGS={token}")
         if not os.path.exists(dst):
@@ -58,9 +68,14 @@ def main():
         args["train_substeps"] = 8
         args["EPOCHS"] = epochs
         args["arg_num"] = token
-        print(f"=== extending {src_token} -> {token} ({epochs} epochs)",
-              flush=True)
-        train(args, resume="RESUME_FINAL")
+        # Resume from the newest interruption checkpoint when one exists,
+        # otherwise from the copied params-final (the 600-epoch source).
+        ckpt_dir = os.path.join(dst, "checkpoint")
+        resume = ("RESUME_RECENT" if os.path.isdir(ckpt_dir)
+                  and os.listdir(ckpt_dir) else "RESUME_FINAL")
+        print(f"=== extending {src_token} -> {token} ({epochs} epochs, "
+              f"{resume})", flush=True)
+        train(args, resume=resume)
 
     for cell, proto in PROTOCOLS.items():
         key = f"s2dL{epochs}_{cell}/seed{seed}"
