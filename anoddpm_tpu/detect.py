@@ -133,11 +133,19 @@ def anomalous_metric_calculation(args=None, root_dir: str = ".",
                                  em=None, sched=None,
                                  t_distance: int = 200,
                                  max_volumes: Optional[int] = None,
-                                 use_checkpoint: bool = False
+                                 use_checkpoint: bool = False,
+                                 volume_batch: Optional[int] = None
                                  ) -> Dict[str, float]:
     """The headline-metric producer (detection.py:156-287): lambda=200
     partial diffusion per anomalous slice, AUC on raw sq-err, threshold 0.5
-    for the rest; writes metrics/args{n}.csv."""
+    for the rest; writes metrics/args{n}.csv.
+
+    `volume_batch` (framework extension; also args["volume_batch"]) fuses
+    the slices of N volumes into ONE reverse-chain dispatch: the reference
+    walks volumes one by one (detection.py:208-221), leaving the MXU
+    underfed at batch 4 — grouping volumes amortises the lambda-step scan
+    over 4-8x the matmul work per dispatch at identical per-slice metrics
+    (the metric pass is already per-slice and order-preserving)."""
     if em is None:
         args, em, sched = _load_eval_model(root_dir, token, use_checkpoint)
     # the reference hardcodes lambda=200 (detection.py:226) against T=1000;
@@ -183,17 +191,22 @@ def anomalous_metric_calculation(args=None, root_dir: str = ".",
     totals = {k: [] for k in ("dice", "ssim", "iou", "precision", "recall",
                               "fpr", "auc")}
     start = time.time()
-    for i in range(n_volumes):
-        sample = d_set[i]
+    vb = max(int(volume_batch or args.get("volume_batch") or 1), 1)
+    for g0 in range(0, n_volumes, vb):
+        group = [d_set[i] for i in range(g0, min(g0 + vb, n_volumes))]
+        imgs = [np.asarray(s["image"]) for s in group]
+        msks = [np.asarray(s["mask"]) for s in group]
+        imgs = [a[None] if a.ndim == 3 else a for a in imgs]
+        msks = [a[None] if a.ndim == 3 else a for a in msks]
         key, sub = jax.random.split(key)
         batch_out, _ = evaluate_anomaly_batch(
-            em, sched, sample["image"], sample["mask"], sub,
+            em, sched, np.concatenate(imgs), np.concatenate(msks), sub,
             noise_sampler, t_distance, fb_jit=fb_jit)
         for k, v in batch_out.items():
             totals[k].extend(v)
-        if i % 4 == 0:
-            name = str(sample.get("filenames", i))
-            print(f"[{i + 1}/{n_volumes}] {name}: "
+        if (g0 // vb) % max(4 // vb, 1) == 0:
+            name = str(group[0].get("filenames", g0))
+            print(f"[{g0 + len(group)}/{n_volumes}] {name}: "
                   f"dice {np.mean(batch_out['dice']):.4f}, "
                   f"AUC {np.mean(batch_out['auc']):.4f}, "
                   f"elapsed {time.time() - start:.0f}s", flush=True)
@@ -843,8 +856,15 @@ def main(argv=None):
         roc_data([token] + rest, use_checkpoint=use_checkpoint,
                  ce_token=ce_token, args_override=override)
     else:
+        # "VB=<n>" groups n volumes' slices into one reverse-chain dispatch
+        # (MXU amortisation; per-slice metrics unchanged)
+        vb = None
+        for a in argv[1:]:
+            if a.startswith("VB="):
+                vb = int(a[3:])
         anomalous_metric_calculation(token=token,
-                                     use_checkpoint=use_checkpoint)
+                                     use_checkpoint=use_checkpoint,
+                                     volume_batch=vb)
 
 
 if __name__ == "__main__":

@@ -177,6 +177,14 @@ def main():
                                   ddim_eta=ddim_eta)
         result["paper_config_ddpm_full_chain"] = round(paper_ddpm, 3)
         result["paper_config_ddim"] = round(paper_ddim, 3)
+        # same protocol with 8 volumes' slices fused per dispatch
+        # (detect.anomalous_metric_calculation volume_batch=8): the
+        # reference walks volumes one by one at batch 4-8, underfeeding
+        # the MXU; grouping is metric-identical (tests/test_detect.py::
+        # test_metric_calculation_volume_batch_equivalence)
+        paper_ddpm32, _ = run_bench(32, t_distance=t_distance,
+                                    base_channels=128)
+        result["paper_config_ddpm_full_chain_vb32"] = round(paper_ddpm32, 3)
         # training throughput on the paper config (fused-substep dispatch).
         # batch 32: the MFU-probe matrix (results/mfu_push.jsonl, round 3)
         # measured 68.6% MFU at batch 32 vs 62.6% at batch 16 — doubling

@@ -287,3 +287,28 @@ def test_auto_lambda_batch_and_empty_grid(tiny_model, tmp_path):
     rows = graph_data(args=(args, em, sched), root_dir=str(tmp_path),
                       max_volumes=1, dense=False)
     assert rows == []
+
+
+def test_metric_calculation_volume_batch_equivalence(tiny_model, tmp_path,
+                                                     monkeypatch):
+    """volume_batch groups N volumes' slices into one reverse-chain dispatch
+    (MXU amortisation — the reference walks volumes one by one,
+    detection.py:208-221).  Under a deterministic reconstruction the
+    per-slice metrics must be EXACTLY those of the ungrouped walk: grouping
+    is a dispatch-shape change, not a semantic one."""
+    from anoddpm_tpu import detect as D
+    em, sched = tiny_model
+    monkeypatch.setattr(
+        D, "jit_with_params",
+        lambda em_, build: (lambda x, k: (x * 0.9, None)))
+    base = {"arg_num": "vb", "img_size": (IMG, IMG), "noise_fn": "gauss",
+            "dataset": "synthetic"}
+    out1 = D.anomalous_metric_calculation(
+        defaultdict_from_json(base), root_dir=str(tmp_path), em=em,
+        sched=sched, t_distance=5, max_volumes=4)
+    out3 = D.anomalous_metric_calculation(
+        defaultdict_from_json(base), root_dir=str(tmp_path), em=em,
+        sched=sched, t_distance=5, max_volumes=4, volume_batch=3)
+    # vb=3 over 4 volumes exercises the uneven remainder group too
+    for k in ("auc", "dice", "ssim", "iou"):
+        assert out1[k] == pytest.approx(out3[k], abs=1e-12), k
