@@ -96,7 +96,13 @@ CONFIGS = {
         "arg_num": "9232",
     },
     "p32s": {
-        "img_size": [32, 32], "Batch_Size": 4, "EPOCHS": 40, "T": 1000,
+        # Batch_Size 1: the reference's simplex noise path is structurally
+        # batch-1-only (rand_3d_fixed_T_octaves accumulates a (1,H,W)
+        # buffer against a (B,H,W) noise3array — in-place broadcast error
+        # for B>1, simplex.py:86-90), and the paper's own simplex configs
+        # train at Batch_Size 1 (test_args/args28.json). Both sides of the
+        # cell use 1 so the protocol stays matched.
+        "img_size": [32, 32], "Batch_Size": 1, "EPOCHS": 40, "T": 1000,
         "base_channels": 32, "beta_schedule": "linear",
         "channel_mults": [1, 2],
         "loss-type": "l2", "loss_weight": "none", "train_start": True,
@@ -222,7 +228,13 @@ def install_simplex_backend() -> None:
         def __init__(self, seed: int = 3):
             self.newSeed(seed)
 
-        def newSeed(self, seed: int) -> None:
+        def newSeed(self, seed=None) -> None:
+            # reference signature (simplex.py:19-22): no-arg call draws a
+            # fresh random table seed — GaussianDiffusion.py:102 does this
+            # before every simplex noise batch
+            if not seed:
+                seed = int(np.random.randint(-10_000_000_000,
+                                             10_000_000_000))
             perm, pgi = sx.perm_tables_from_seed(seed)
             self._perm = jnp.asarray(perm, jnp.int32)
             self._gid = jnp.asarray(np.asarray(pgi) // 3, jnp.int32)
