@@ -178,10 +178,11 @@ def main():
         result["paper_config_ddpm_full_chain"] = round(paper_ddpm, 3)
         result["paper_config_ddim"] = round(paper_ddim, 3)
         # same protocol with 8 volumes' slices fused per dispatch
-        # (detect.anomalous_metric_calculation volume_batch=8): the
-        # reference walks volumes one by one at batch 4-8, underfeeding
-        # the MXU; grouping is metric-identical (tests/test_detect.py::
-        # test_metric_calculation_volume_batch_equivalence)
+        # (detect.anomalous_metric_calculation volume_batch=8; metric-
+        # identical — tests/test_detect.py::test_metric_calculation_
+        # volume_batch_equivalence). Measured: +2% at 256^2 base-128 —
+        # this chain is compute-saturated at batch 8 already; the lever
+        # pays on small configs (32^2 detect: seconds instead of minutes)
         paper_ddpm32, _ = run_bench(32, t_distance=t_distance,
                                     base_channels=128)
         result["paper_config_ddpm_full_chain_vb32"] = round(paper_ddpm32, 3)
