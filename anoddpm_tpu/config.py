@@ -36,6 +36,7 @@ KNOWN_KEYS = {
     "checkpoint_every", "ema_decay", "grad_clip_norm",
     "train_substeps", "sampler", "ddim_steps", "ddim_eta", "space_to_depth",
     "bf16_norm", "lesion_kind", "lesion_severity", "recon_repeats",
+    "anomalous_volumes",
     "_note",  # free-form provenance comment in shipped configs
 }
 

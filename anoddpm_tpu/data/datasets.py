@@ -375,7 +375,13 @@ def anomalous_dataset_from_args(root_dir: str, args):
         # the harder regime matching the paper's real-tumour phenomenology)
         kind = str(args.get("lesion_kind") or "bump")
         severity = float(args.get("lesion_severity") or 1.0)
+        # anomalous_volumes: optional eval-set size knob (default 22
+        # volumes, matching the reference's 22-patient Anomalous-T1 set);
+        # reduced-budget protocols set it identically on both sides of a
+        # cross-implementation parity cell so the anchor stays valid
+        length = int(args.get("anomalous_volumes") or 22)
         return SyntheticAnomalyDataset(img_size=args["img_size"],
+                                       length=length,
                                        lesion_kind=kind,
                                        lesion_severity=severity)
     if name == "carpet":

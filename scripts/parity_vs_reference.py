@@ -37,6 +37,10 @@ configs: psmoke = 32^2 T=200 1-epoch harness smoke;
          p32g / p32s = 32^2 gaussian / simplex at 40 epochs — the budget
          the in-image single-CPU-core torch runtime can honestly complete
          (measured: ~150 s/epoch + ~28 min detection at 32^2);
+         p32s8 = 32^2 simplex at 8 epochs / 8 anomalous volumes — the
+         simplex cell sized to ~1 h wall for both sides sequentially
+         (the reference's per-step simplex draw + λ=200 per-step reverse
+         noise make the 40-epoch/22-volume simplex cell ~3 h on one core);
          p64g = 64^2 gaussian at 12 epochs (stretch goal, ~4 h/side).
 Both sides always get the IDENTICAL config dict, data and protocol, so the
 comparison is anchor-valid at any budget.
@@ -112,6 +116,26 @@ CONFIGS = {
         "num_head_channels": -1, "noise_fn": "simplex", "dataset": "mri",
         "simplex_octaves": 6, "simplex_persistence": 0.8,
         "simplex_frequency": 64, "arg_num": "9332",
+    },
+    # reduced-budget simplex cell sized for the in-image single-CPU-core
+    # torch runtime (~1 h wall for both sides run sequentially): 8 epochs,
+    # 8 anomalous volumes.  BOTH sides get the identical budget and eval
+    # set, so the comparison stays anchor-valid — it measures
+    # cross-implementation agreement of the full simplex pipeline
+    # (train noise backend + simplex detection chain), not asymptotic
+    # quality.
+    "p32s8": {
+        "img_size": [32, 32], "Batch_Size": 1, "EPOCHS": 8, "T": 1000,
+        "base_channels": 32, "beta_schedule": "linear",
+        "channel_mults": [1, 2],
+        "loss-type": "l2", "loss_weight": "none", "train_start": True,
+        "lr": 1e-4, "random_slice": True, "sample_distance": 800,
+        "weight_decay": 0.0, "save_imgs": False, "save_vids": False,
+        "dropout": 0, "attention_resolutions": "32,16,8", "num_heads": 1,
+        "num_head_channels": -1, "noise_fn": "simplex", "dataset": "mri",
+        "simplex_octaves": 6, "simplex_persistence": 0.8,
+        "simplex_frequency": 64, "anomalous_volumes": 8,
+        "arg_num": "9338",
     },
 }
 
@@ -217,9 +241,36 @@ def install_simplex_backend() -> None:
     (tests/test_simplex.py).  Needed because without numba the reference's
     scalar cell walk runs as pure Python (~10^6 x too slow)."""
     sys.path.insert(0, REPO)
+    from functools import lru_cache
+
+    import jax
     import jax.numpy as jnp
 
     from anoddpm_tpu.ops import simplex as sx
+
+    # Jitted, shape-keyed kernel wrappers.  The adapter is called once per
+    # reference train step AND once per reverse step in detection (~10^4
+    # calls per cell); eager op-by-op dispatch over the device tunnel costs
+    # ~1.4 s/call (measured) — jitting with perm/t traced compiles each
+    # distinct (shape, octaves, persistence, frequency) ONCE and brings a
+    # call to one dispatch.
+    @lru_cache(maxsize=None)
+    def _jit_fixed_t(hw, octaves, persistence, frequency):
+        return jax.jit(lambda perm, gid, t: sx.fractal3_fixed_t(
+            perm, gid, hw, t, octaves=octaves, persistence=persistence,
+            frequency=frequency))
+
+    @lru_cache(maxsize=None)
+    def _jit_2d(hw, octaves, persistence, frequency):
+        return jax.jit(lambda perm, gid: sx.fractal2(
+            perm, gid, hw, octaves=octaves, persistence=persistence,
+            frequency=frequency))
+
+    @lru_cache(maxsize=None)
+    def _jit_vol(zhw, octaves, persistence, frequency):
+        return jax.jit(lambda perm, gid: sx.fractal3_volume(
+            perm, gid, zhw, octaves=octaves, persistence=persistence,
+            frequency=frequency))
 
     class SimplexAdapter:
         """Simplex_CLASS API (reference simplex.py:14-93) on the
@@ -243,28 +294,24 @@ def install_simplex_backend() -> None:
                                     persistence=0.5, frequency=32):
             h, w = shape
             t = float(np.asarray(T).reshape(-1)[0])
-            field = sx.fractal3_fixed_t(
-                self._perm, self._gid, (h, w), t, octaves=int(octaves),
-                persistence=float(persistence), frequency=float(frequency))
+            fn = _jit_fixed_t((h, w), int(octaves), float(persistence),
+                              float(frequency))
+            field = fn(self._perm, self._gid, jnp.float32(t))
             return np.asarray(field, np.float32)[None]
 
         def rand_2d_octaves(self, shape, octaves=1, persistence=0.5,
                             frequency=32):
             h, w = shape[-2:]
-            field = sx.fractal2(self._perm, self._gid, (h, w),
-                                octaves=int(octaves),
-                                persistence=float(persistence),
-                                frequency=float(frequency))
-            return np.asarray(field, np.float32)
+            fn = _jit_2d((h, w), int(octaves), float(persistence),
+                         float(frequency))
+            return np.asarray(fn(self._perm, self._gid), np.float32)
 
         def rand_3d_octaves(self, shape, octaves=1, persistence=0.5,
                             frequency=32):
             c, h, w = shape
-            vol = sx.fractal3_volume(self._perm, self._gid, (c, h, w),
-                                     octaves=int(octaves),
-                                     persistence=float(persistence),
-                                     frequency=float(frequency))
-            return np.asarray(vol, np.float32)
+            fn = _jit_vol((c, h, w), int(octaves), float(persistence),
+                          float(frequency))
+            return np.asarray(fn(self._perm, self._gid), np.float32)
 
     import simplex as ref_simplex
     ref_simplex.Simplex_CLASS = SimplexAdapter
@@ -275,7 +322,7 @@ def install_simplex_backend() -> None:
 # ------------------------------------------------- shared synthetic data
 
 
-def make_torch_datasets(img_size):
+def make_torch_datasets(img_size, anomalous_volumes: int = 22):
     """Torch Datasets yielding EXACTLY data/synthetic.py's arrays (same
     seeds/generator), in the reference's sample layout:
     MRIDataset -> {"image": (1, H, W)}; AnomalousMRIDataset ->
@@ -304,7 +351,8 @@ def make_torch_datasets(img_size):
         # accepts/ignores the reference's AnomalousMRIDataset kwargs so it
         # can be registered as dataset.AnomalousMRIDataset verbatim
         def __init__(self, *a, **k):
-            self.inner = SyntheticAnomalyDataset(img_size=tuple(img_size))
+            self.inner = SyntheticAnomalyDataset(img_size=tuple(img_size),
+                                                 length=anomalous_volumes)
 
         def __len__(self):
             return len(self.inner)
@@ -371,7 +419,8 @@ def _enter_reference(cfg):
 
     import dataset as ref_dataset
 
-    Healthy, Anomalous = make_torch_datasets(cfg["img_size"])
+    Healthy, Anomalous = make_torch_datasets(
+        cfg["img_size"], cfg.get("anomalous_volumes", 22))
     ref_dataset.AnomalousMRIDataset = Anomalous
     ref_dataset.init_datasets = lambda root, args: (Healthy(True),
                                                     Healthy(False))
