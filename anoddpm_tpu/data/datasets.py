@@ -379,7 +379,10 @@ def anomalous_dataset_from_args(root_dir: str, args):
         # volumes, matching the reference's 22-patient Anomalous-T1 set);
         # reduced-budget protocols set it identically on both sides of a
         # cross-implementation parity cell so the anchor stays valid
-        length = int(args.get("anomalous_volumes") or 22)
+        vols = args.get("anomalous_volumes")
+        length = 22 if vols is None or vols == "" else int(vols)
+        if length <= 0:
+            raise ValueError(f"anomalous_volumes must be > 0, got {vols!r}")
         return SyntheticAnomalyDataset(img_size=args["img_size"],
                                        length=length,
                                        lesion_kind=kind,

@@ -41,6 +41,9 @@ def gaussian_noise(key: jax.Array, shape: Tuple[int, ...], t: jax.Array) -> jax.
     return jax.random.normal(key, shape, dtype=jnp.float32)
 
 
+gaussian_noise.fingerprint = ("gauss",)
+
+
 def simplex_noise(key: jax.Array, shape: Tuple[int, ...], t: jax.Array,
                   octaves: int = 6, persistence: float = 0.8,
                   frequency: float = 64.0, share_batch: bool = False) -> jax.Array:
@@ -138,6 +141,9 @@ def simplex_rand_param_noise(key: jax.Array, shape: Tuple[int, ...],
     return fields.reshape(b, c, h, w).transpose(0, 2, 3, 1)
 
 
+simplex_rand_param_noise.fingerprint = ("simplex_randParam",)
+
+
 def make_noise_sampler(kind: str, octaves: int = 6, persistence: float = 0.8,
                        frequency: float = 64.0,
                        share_batch: bool = False) -> NoiseSampler:
@@ -145,6 +151,11 @@ def make_noise_sampler(kind: str, octaves: int = 6, persistence: float = 0.8,
 
     kinds: "gauss" | "simplex" | "simplex_randParam" | "simplex_2d" | "random"
     (anything else falls through to plain simplex, as in the reference).
+
+    Every returned sampler carries a `fingerprint` attribute — the value
+    tuple of its construction parameters — so program caches can key on
+    sampler SEMANTICS rather than closure identity (two calls with the same
+    arguments return distinct closures that compute the same function).
     """
     if kind == "gauss":
         return gaussian_noise
@@ -154,6 +165,8 @@ def make_noise_sampler(kind: str, octaves: int = 6, persistence: float = 0.8,
         def simplex2d_sampler(key, shape, t):
             return simplex2d_noise(key, shape, t, octaves, persistence,
                                    frequency)
+        simplex2d_sampler.fingerprint = ("simplex_2d", octaves, persistence,
+                                         frequency)
         return simplex2d_sampler
     if kind == "random":
         def random_noise(key, shape, t):
@@ -165,11 +178,15 @@ def make_noise_sampler(kind: str, octaves: int = 6, persistence: float = 0.8,
                 lambda k: simplex_noise(k, shape, t, octaves, persistence,
                                         frequency, share_batch),
                 key_noise)
+        random_noise.fingerprint = ("random", octaves, persistence,
+                                    frequency, share_batch)
         return random_noise
 
     def simplex_sampler(key, shape, t):
         return simplex_noise(key, shape, t, octaves, persistence, frequency,
                              share_batch)
+    simplex_sampler.fingerprint = ("simplex", octaves, persistence,
+                                   frequency, share_batch)
     return simplex_sampler
 
 

@@ -228,10 +228,14 @@ def train(args, root_dir: str = ".", resume: Optional[str] = None,
                     state.opt_state, final=True)
     purge_checkpoints(root_dir, args["arg_num"])
 
-    ev.testing(iter(test_loader), EvalModel(model, state.ema_params),
-               sched, args,
-               noise_sampler=noise_sampler, root_dir=root_dir,
-               save_videos=bool(args.get("save_vids")))
+    # final test-set suite (diffusion_training.py:153) — staged campaigns
+    # that run their own `evaluation.testing` after each training slice set
+    # skip_test_eval so intermediate slices don't pay the VLB sweep twice
+    if not args.get("skip_test_eval"):
+        ev.testing(iter(test_loader), EvalModel(model, state.ema_params),
+                   sched, args,
+                   noise_sampler=noise_sampler, root_dir=root_dir,
+                   save_videos=bool(args.get("save_vids")))
     return state
 
 

@@ -56,35 +56,59 @@ def main():
 
     epochs = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() \
         else None
+    protos = dict(PROTOCOLS)
+    for a in sys.argv[2:]:
+        if a.startswith("--protocols="):
+            names = a.split("=", 1)[1].split(",")
+            protos = {k: v for k, v in PROTOCOLS.items() if k in names}
     res = json.load(open(RESULTS)) if os.path.exists(RESULTS) else {}
 
     args = copy.deepcopy(load_args(TOKEN))
     if epochs:
         args["EPOCHS"] = epochs
-    args["train_substeps"] = 4
+    target = int(args["EPOCHS"])
+    # substep fusion level (dispatch-overhead amortisation; semantics-
+    # neutral — jit_multi_step runs the same sequential optimizer steps).
+    # Default 4 = round-4 setting; the round-5 queue sets the probe winner
+    # (scripts/substep_probe.py -> results/substep_probe.jsonl).
+    args["train_substeps"] = int(os.environ.get("FLAGSHIP_SUBSTEPS", "4"))
+    # the campaign runs its own evaluation.testing cell below; the train
+    # tail's would double the VLB sweep on every staged slice
+    args["skip_test_eval"] = True
 
-    # 1. train, gated on recorded epoch count (not file existence)
+    # 1. train, gated on the checkpoint's recorded epoch count.  Staged
+    # campaigns (round-4 VERDICT item 2: 600 -> 1500 -> 3000) resume from
+    # params-final when it records fewer epochs than the target; an
+    # interrupted slice resumes from its newest periodic checkpoint.
     meta_path = os.path.join("model", f"diff-params-ARGS={TOKEN}",
                              "params-final", "meta.json")
-    trained = False
+    recorded = 0
     if os.path.exists(meta_path):
         with open(meta_path) as f:
-            trained = json.load(f).get("n_epoch", 0) >= int(args["EPOCHS"])
-    if not trained:
+            recorded = int(json.load(f).get("n_epoch", 0))
+    if recorded < target:
         ckpt_dir = os.path.join("model", f"diff-params-ARGS={TOKEN}",
                                 "checkpoint")
-        resume = ("RESUME_RECENT" if os.path.isdir(ckpt_dir)
-                  and os.listdir(ckpt_dir) else None)
+        if os.path.isdir(ckpt_dir) and os.listdir(ckpt_dir):
+            resume = "RESUME_RECENT"
+        elif recorded > 0:
+            resume = "RESUME_FINAL"
+        else:
+            resume = None
         t0 = time.time()
         train(args, resume=resume)
-        res["train_seconds"] = time.time() - t0
-        res["train_epochs"] = int(args["EPOCHS"])
+        # wall seconds of THIS slice (epochs recorded..target); totals are
+        # the sum of the train_seconds@* entries (+ the legacy 600-epoch
+        # "train_seconds" if present)
+        res[f"train_seconds@{target}"] = time.time() - t0
+        res[f"train_slice@{target}"] = [recorded, target]
+        res["train_epochs"] = target
         _save(res)
 
-    # 2. headline eval under both samplers
-    for cell, proto in PROTOCOLS.items():
-        key = f"flagship_{cell}"
-        if key in res:
+    # 2. headline eval under the selected samplers, keyed by epoch budget
+    for cell, proto in protos.items():
+        key = f"flagship_{cell}@{target}"
+        if key in res or (target == 600 and f"flagship_{cell}" in res):
             continue
         eval_args, em, sched = _load_eval_model(".", TOKEN)
         for k, v in proto.items():
@@ -99,7 +123,7 @@ def main():
               f"Dice {summary['dice']:.4f}", flush=True)
 
     # 3. test-set suite (videos off: protocol numbers, not artifacts)
-    if "testing_done" not in res:
+    if "--skip-testing" not in sys.argv and f"testing@{target}" not in res:
         from anoddpm_tpu.data.datasets import dataset_from_args
         from anoddpm_tpu.data.pipeline import batch_iterator
         from anoddpm_tpu.evaluation import testing
@@ -111,7 +135,8 @@ def main():
         out = testing(it, em, sched, eval_args,
                       noise_sampler=sampler_from_args(eval_args),
                       n_images=16, save_videos=False)
-        res["testing_done"] = {k: round(float(v), 5) for k, v in out.items()}
+        res[f"testing@{target}"] = {k: round(float(v), 5)
+                                    for k, v in out.items()}
         _save(res)
 
     # 4. figures drive at the flagship resolution

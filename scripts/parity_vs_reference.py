@@ -28,10 +28,12 @@ with only an ENVIRONMENT shim:
     cell walk is computationally infeasible without numba.
 
 usage (run from /root/repo):
-  python scripts/parity_vs_reference.py reference <config>  # train+detect
-  python scripts/parity_vs_reference.py framework <config>  # train+detect
+  python scripts/parity_vs_reference.py reference <config> [seed]  # train+detect
+  python scripts/parity_vs_reference.py framework <config> [seed]  # train+detect
   python scripts/parity_vs_reference.py maps <config>  # fixed-noise anomaly
         maps from the SAME reference-trained weights through both stacks
+  python scripts/parity_vs_reference.py aggregate <config>  # across-seed
+        mean/std per side + SEM-scaled match verdict (VERDICT r4 item 1)
   python scripts/parity_vs_reference.py collect            # merge JSON
 configs: psmoke = 32^2 T=200 1-epoch harness smoke;
          p32g / p32s = 32^2 gaussian / simplex at 40 epochs — the budget
@@ -262,8 +264,10 @@ def install_simplex_backend() -> None:
 
     @lru_cache(maxsize=None)
     def _jit_2d(hw, octaves, persistence, frequency):
-        return jax.jit(lambda perm, gid: sx.fractal2(
-            perm, gid, hw, octaves=octaves, persistence=persistence,
+        # fractal2 takes (perm, shape_hw, ...) — no gradient-index table
+        # (the 2D kernel derives gradients from perm directly)
+        return jax.jit(lambda perm: sx.fractal2(
+            perm, hw, octaves=octaves, persistence=persistence,
             frequency=frequency))
 
     @lru_cache(maxsize=None)
@@ -304,7 +308,7 @@ def install_simplex_backend() -> None:
             h, w = shape[-2:]
             fn = _jit_2d((h, w), int(octaves), float(persistence),
                          float(frequency))
-            return np.asarray(fn(self._perm, self._gid), np.float32)
+            return np.asarray(fn(self._perm), np.float32)
 
         def rand_3d_octaves(self, shape, octaves=1, persistence=0.5,
                             frequency=32):
@@ -438,11 +442,26 @@ def _enter_reference(cfg):
     return torch, ref_dataset
 
 
-def run_reference(config_key: str) -> dict:
+def _seeded_cfg(config_key: str, seed: int) -> dict:
+    """Per-seed copy of a parity config: seed 0 keeps the round-4 arg_num
+    (and result keys) stable; other seeds get their own workdir/checkpoint
+    namespace so replicate cells never collide."""
     cfg = dict(CONFIGS[config_key])
+    if seed:
+        cfg["arg_num"] = f"{cfg['arg_num']}_s{seed}"
+    return cfg
+
+
+def _result_key(config_key: str, side: str, seed: int) -> str:
+    return (f"{config_key}/{side}" if seed == 0
+            else f"{config_key}/{side}_s{seed}")
+
+
+def run_reference(config_key: str, seed: int = 0) -> dict:
+    cfg = _seeded_cfg(config_key, seed)
     torch, ref_dataset = _enter_reference(cfg)
-    torch.manual_seed(0)
-    np.random.seed(0)
+    torch.manual_seed(seed)
+    np.random.seed(seed)
 
     import diffusion_training as ref_train
     import evaluation as ref_eval
@@ -488,8 +507,8 @@ def run_reference(config_key: str) -> dict:
         os.path.join(workdir_for(cfg), "metrics",
                      f"args{cfg['arg_num']}.csv"))
     row.update(train_seconds=train_s, detect_seconds=detect_s,
-               epochs=cfg["EPOCHS"], impl="pytorch-reference")
-    _merge({f"{config_key}/reference": row})
+               epochs=cfg["EPOCHS"], impl="pytorch-reference", seed=seed)
+    _merge({_result_key(config_key, "reference", seed): row})
     print(json.dumps(row, indent=1))
     return row
 
@@ -510,10 +529,10 @@ def _parse_reference_csv(path: str) -> dict:
 # ------------------------------------------------------- framework side
 
 
-def run_framework(config_key: str) -> dict:
+def run_framework(config_key: str, seed: int = 0) -> dict:
     """Matched framework run: same config dict, same synthetic data, same
     protocol (lambda=200 DDPM headline eval)."""
-    cfg = dict(CONFIGS[config_key])
+    cfg = _seeded_cfg(config_key, seed)
     sys.path.insert(0, REPO)
     from anoddpm_tpu.config import defaultdict_from_json
     from anoddpm_tpu.detect import (_load_eval_model,
@@ -523,7 +542,7 @@ def run_framework(config_key: str) -> dict:
     wd = workdir_for(cfg)
     token = f"{cfg['arg_num']}fw"
     args = defaultdict_from_json({**cfg, "arg_num": token,
-                                  "dataset": "synthetic", "seed": 0,
+                                  "dataset": "synthetic", "seed": seed,
                                   # reference-faithful eval protocol
                                   "sampler": "ddpm",
                                   "compute_dtype": "bfloat16"})
@@ -539,8 +558,8 @@ def run_framework(config_key: str) -> dict:
     detect_s = time.time() - t0
     row = {k: v for k, v in summary.items()}
     row.update(train_seconds=train_s, detect_seconds=detect_s,
-               epochs=cfg["EPOCHS"], impl="anoddpm-tpu")
-    _merge({f"{config_key}/framework": row})
+               epochs=cfg["EPOCHS"], impl="anoddpm-tpu", seed=seed)
+    _merge({_result_key(config_key, "framework", seed): row})
     print(json.dumps(row, indent=1))
     return row
 
@@ -688,6 +707,57 @@ def collect() -> None:
                 print(f"{m:>10} {ref[m]:>12.4f} {fw[m]:>12.4f}")
 
 
+def _side_rows(data: dict, config_key: str, side: str) -> list:
+    rows = []
+    for k, v in data.items():
+        if k == f"{config_key}/{side}" or \
+                k.startswith(f"{config_key}/{side}_s"):
+            rows.append(v)
+    return sorted(rows, key=lambda r: r.get("seed", 0))
+
+
+def aggregate(config_key: str) -> dict:
+    """Across-seed aggregate of a parity cell (round-4 VERDICT item 1):
+    per side, the mean and std OF THE SEED MEANS for each metric, plus a
+    seed-distribution overlap verdict: the two implementations are judged
+    matched when |mean_ref - mean_fw| <= max(std_ref, std_fw) + SEM-scaled
+    bound (the same criterion the p32g n=1 cell implied, now measured over
+    a seed population instead of asserted)."""
+    with open(RESULTS) as f:
+        data = json.load(f)
+    out = {"n_seeds": {}, "means": {}, "stds": {}, "verdict": {}}
+    sides = {}
+    for side in ("reference", "framework"):
+        rows = _side_rows(data, config_key, side)
+        sides[side] = rows
+        out["n_seeds"][side] = len(rows)
+    metrics = ("auc", "dice", "ssim", "iou", "precision", "recall", "fpr")
+    for side, rows in sides.items():
+        out["means"][side] = {m: float(np.mean([r[m] for r in rows]))
+                              for m in metrics if all(m in r for r in rows)}
+        out["stds"][side] = {m: float(np.std([r[m] for r in rows]))
+                             for m in metrics if all(m in r for r in rows)}
+    for m in metrics:
+        if m not in out["means"]["reference"] or \
+                m not in out["means"]["framework"]:
+            continue
+        d = abs(out["means"]["reference"][m] - out["means"]["framework"][m])
+        # seed-population spread (std of seed means) + SEM of each side
+        n_r = max(out["n_seeds"]["reference"], 1)
+        n_f = max(out["n_seeds"]["framework"], 1)
+        spread = max(out["stds"]["reference"][m],
+                     out["stds"]["framework"][m])
+        sem = math.sqrt(out["stds"]["reference"][m] ** 2 / n_r
+                        + out["stds"]["framework"][m] ** 2 / n_f)
+        out["verdict"][m] = {"abs_diff": d, "seed_spread": spread,
+                             "sem_combined": sem,
+                             "matched": bool(d <= spread + 2 * sem)}
+    out["all_matched"] = all(v["matched"] for v in out["verdict"].values())
+    _merge({f"{config_key}/aggregate": out})
+    print(json.dumps(out, indent=1))
+    return out
+
+
 def main():
     if len(sys.argv) < 2:
         raise SystemExit(__doc__)
@@ -696,10 +766,14 @@ def main():
         collect()
         return
     config_key = sys.argv[2]
+    if mode == "aggregate":
+        aggregate(config_key)
+        return
+    seed = int(sys.argv[3]) if len(sys.argv) > 3 else 0
     if mode == "reference":
-        run_reference(config_key)
+        run_reference(config_key, seed)
     elif mode == "framework":
-        run_framework(config_key)
+        run_framework(config_key, seed)
     elif mode == "maps":
         run_maps(config_key)
     else:
