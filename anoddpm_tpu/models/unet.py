@@ -66,6 +66,23 @@ class GroupNorm32(nn.Module):
         return h.astype(x.dtype)
 
 
+def _norm_silu(mdl, x, name: str, bf16_norm: bool, pallas: bool):
+    """GroupNorm32 + SiLU; with `pallas` and an eligible shape, the fused
+    single-pass Pallas kernel (ops/pallas_norm.py — one HBM read + one
+    write instead of the unfused two reads + one write).  pallas=False (the
+    default) keeps the exact flax composition and parameter tree."""
+    if pallas:
+        from ..ops import pallas_norm
+        if pallas_norm.eligible(x.shape, x.dtype):
+            c = x.shape[-1]
+            gamma = mdl.param(f"{name}_pscale", nn.initializers.ones,
+                              (c,), jnp.float32)
+            beta = mdl.param(f"{name}_pbias", nn.initializers.zeros,
+                             (c,), jnp.float32)
+            return pallas_norm.group_norm_silu(x, gamma, beta)
+    return nn.silu(GroupNorm32(bf16_path=bf16_norm, name=name)(x))
+
+
 def _avg_pool2(x):
     return nn.avg_pool(x, (2, 2), strides=(2, 2))
 
@@ -86,6 +103,7 @@ class ResBlock(nn.Module):
     use_conv_skip: bool = False
     dtype: jnp.dtype = jnp.float32
     bf16_norm: bool = False
+    pallas_norm: bool = False
 
     @nn.compact
     def __call__(self, x, emb, *, deterministic: bool = True):
@@ -97,7 +115,7 @@ class ResBlock(nn.Module):
             param_dtype=jnp.float32, kernel_init=nn.initializers.zeros,
             bias_init=nn.initializers.zeros, name=name)
 
-        h = nn.silu(GroupNorm32(bf16_path=self.bf16_norm, name="norm_in")(x))
+        h = _norm_silu(self, x, "norm_in", self.bf16_norm, self.pallas_norm)
         if self.up:
             h = _nearest_up2(h)
             x = _nearest_up2(x)
@@ -111,8 +129,7 @@ class ResBlock(nn.Module):
                            name="emb_proj")(nn.silu(emb)).astype(h.dtype)
         h = h + emb_out[:, None, None, :]
 
-        h = nn.silu(GroupNorm32(bf16_path=self.bf16_norm,
-                                name="norm_out")(h))
+        h = _norm_silu(self, h, "norm_out", self.bf16_norm, self.pallas_norm)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = zero_conv(self.out_channels, (3, 3), "conv_out")(h)
 
@@ -192,6 +209,10 @@ class UNet(nn.Module):
     # still accumulate fp32); config key "bf16_norm" — perf knob, off by
     # default for reference-parity numerics
     bf16_norm: bool = False
+    # fused single-pass Pallas GroupNorm+SiLU on eligible shapes (config
+    # key "pallas_norm"; ops/pallas_norm.py).  Changes the norm parameter
+    # names, so only for fresh trainings / perf probes.
+    pallas_norm: bool = False
 
     def _effective_size(self) -> int:
         return self.img_size // self.space_to_depth
@@ -238,7 +259,8 @@ class UNet(nn.Module):
 
         rb = lambda out_ch, name, **kw: ResBlock(
             out_channels=out_ch, dropout=self.dropout, dtype=cdt,
-            bf16_norm=self.bf16_norm, name=name, **kw)
+            bf16_norm=self.bf16_norm, pallas_norm=self.pallas_norm,
+            name=name, **kw)
         attn = lambda name: AttentionBlock(
             n_heads=self.n_heads, n_head_channels=self.n_head_channels,
             dtype=cdt, bf16_norm=self.bf16_norm, name=name)
@@ -291,8 +313,8 @@ class UNet(nn.Module):
         assert not skips
 
         h = h.astype(in_dtype)
-        h = nn.silu(GroupNorm32(bf16_path=self.bf16_norm,
-                                name="out_norm")(h))
+        h = _norm_silu(self, h, "out_norm", self.bf16_norm,
+                       self.pallas_norm)
         out_feats = self.in_channels * s2d * s2d
         h = nn.Conv(out_feats, (3, 3), padding="SAME",
                     dtype=jnp.float32, param_dtype=jnp.float32,
@@ -332,5 +354,6 @@ def unet_from_args(args, in_channels: int, dtype=None) -> UNet:
         n_head_channels=int(args.get("num_head_channels", -1) or -1),
         space_to_depth=int(args.get("space_to_depth", 1) or 1),
         bf16_norm=bool(args.get("bf16_norm")),
+        pallas_norm=bool(args.get("pallas_norm")),
         dtype=dtype,
     )

@@ -46,6 +46,8 @@ def run_bench(batch: int, t_distance: int = 250, img: int = 256,
                  # bf16 GroupNorm elementwise path: +6% inference / +13%
                  # train at AUC/Dice parity (results/bf16_norm_ab.json)
                  bf16_norm=os.environ.get("BENCH_BF16_NORM", "1") == "1",
+                 # A/B knob for the fused Pallas GroupNorm+SiLU probe
+                 pallas_norm=os.environ.get("BENCH_PALLAS_NORM", "0") == "1",
                  dtype=jnp.bfloat16)
     x = jnp.zeros((batch, img, img, 1))
     t = jnp.zeros((batch,), jnp.int32)

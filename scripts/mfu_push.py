@@ -12,9 +12,12 @@ and print one JSON line.  The levers under test:
   - scan unroll of the fused substeps (round-4: cross-step scheduling
     freedom for XLA)
 
+  - pallas_norm (round-5, VERDICT item 9): fused single-pass Pallas
+    GroupNorm+SiLU on eligible shapes (ops/pallas_norm.py)
+
 Run each config in its own process (XLA flags are read at backend init):
   python scripts/mfu_push.py <batch> [bf16_norm=1] [base=128] [s2d=1] \
-      [remat=none|dots|nothing] [unroll=1]
+      [remat=none|dots|nothing] [unroll=1] [pallas_norm=0]
 Results are appended to results/mfu_push.jsonl by the caller.
 
 Note on MFU accounting under remat: `flops` comes from cost_analysis of the
@@ -53,11 +56,13 @@ def main():
     remat = sys.argv[5] if len(sys.argv) > 5 else "none"
     remat = None if remat == "none" else remat
     unroll = int(sys.argv[6]) if len(sys.argv) > 6 else 1
+    pallas_norm = bool(int(sys.argv[7])) if len(sys.argv) > 7 else False
     img, T, K = 256, 1000, 8
 
     model = UNet(img_size=img, base_channels=base, in_channels=1,
                  attention_resolutions="16,8", n_heads=2,
                  space_to_depth=s2d, bf16_norm=bf16_norm,
+                 pallas_norm=pallas_norm,
                  dtype=jnp.bfloat16)
     sched = make_schedule(get_beta_schedule(T, "linear"))
     sampler = make_noise_sampler("simplex")
@@ -95,6 +100,7 @@ def main():
     print(json.dumps({
         "batch": batch, "bf16_norm": bf16_norm, "base": base, "s2d": s2d,
         "remat": remat or "none", "unroll": unroll,
+        "pallas_norm": pallas_norm,
         "xla_flags": os.environ.get("XLA_FLAGS", ""),
         "ms_per_step": round(per_step * 1e3, 2),
         "imgs_per_sec": round(batch / per_step, 1),

@@ -476,10 +476,20 @@ def run_reference(config_key: str, seed: int = 0) -> dict:
     loader = ref_dataset.init_dataset_loader(Healthy(True), args)
     tloader = ref_dataset.init_dataset_loader(Healthy(False), args)
 
-    t0 = time.time()
-    ref_train.train(loader, tloader, args, None)
-    train_s = time.time() - t0
-    print(f"reference train: {train_s:.0f}s", flush=True)
+    final_pt = os.path.join(workdir_for(cfg), "model",
+                            f"diff-params-ARGS={cfg['arg_num']}",
+                            "params-final.pt")
+    if os.path.exists(final_pt):
+        # resume-after-interrupt: a finished training leg (params-final.pt
+        # is the reference's last save, diffusion_training.py:141-151)
+        # whose detection leg died should not pay the CPU-torch retrain
+        train_s = -1.0
+        print(f"reference train: skipped, {final_pt} exists", flush=True)
+    else:
+        t0 = time.time()
+        ref_train.train(loader, tloader, args, None)
+        train_s = time.time() - t0
+        print(f"reference train: {train_s:.0f}s", flush=True)
 
     import detection as ref_det
     ref_det.device = torch.device("cpu")
@@ -498,7 +508,10 @@ def run_reference(config_key: str, seed: int = 0) -> dict:
         return args, output
 
     ref_det.load_parameters = _lp
-    sys.argv = ["detection.py", cfg["arg_num"]]
+    # "args"-prefixed form: helpers.py:70-77 accepts numeric params or
+    # "args<name>" — seeded arg_nums like "9338_s1" are non-numeric, so the
+    # bare form raises "Unsupported input".
+    sys.argv = ["detection.py", f"args{cfg['arg_num']}"]
     t0 = time.time()
     ref_det.anomalous_metric_calculation()
     detect_s = time.time() - t0

@@ -17,4 +17,8 @@ for job in "reference p32s8 1" "reference p32s8 2" "reference p32s 0"; do
       > "/tmp/r5_parity_ref_$(echo $job | tr ' ' '_').log" 2>&1
   mark "parity_ref $job done rc=$?"
 done
+mark "aggregate start"
+timeout 600 python scripts/parity_vs_reference.py aggregate p32s8 \
+    > /tmp/r5_parity_aggregate.log 2>&1
+mark "aggregate done rc=$?"
 mark "=== r5 CPU parity queue complete ==="
