@@ -290,9 +290,17 @@ def install_simplex_backend() -> None:
             if not seed:
                 seed = int(np.random.randint(-10_000_000_000,
                                              10_000_000_000))
-            perm, pgi = sx.perm_tables_from_seed(seed)
+            perm, gid = sx.perm_tables_from_seed(seed)
+            # NOTE: perm_tables_from_seed returns the gradient ROW index
+            # (perm % 24) directly — NOT the reference's flat-table byte
+            # offset (perm % 24) * 3.  Round 4 divided by 3 here, which
+            # collapsed the reference side's gradients to rows 0..7 of 24
+            # and silently biased every round-4 simplex parity cell
+            # (verified vs the reference scalar kernel: _noise3 matches
+            # opensimplex3(perm, perm %% 24, ...) to 1e-6; see
+            # tests/test_parity_adapter.py).
             self._perm = jnp.asarray(perm, jnp.int32)
-            self._gid = jnp.asarray(np.asarray(pgi) // 3, jnp.int32)
+            self._gid = jnp.asarray(gid, jnp.int32)
 
         def rand_3d_fixed_T_octaves(self, shape, T, octaves=1,
                                     persistence=0.5, frequency=32):
