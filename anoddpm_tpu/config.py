@@ -33,6 +33,7 @@ KNOWN_KEYS = {
     # framework extensions
     "compute_dtype", "seed", "mesh", "num_res_blocks", "iters_per_epoch",
     "simplex_octaves", "simplex_persistence", "simplex_frequency",
+    "simplex_table",
     "checkpoint_every", "ema_decay", "grad_clip_norm",
     "train_substeps", "sampler", "ddim_steps", "ddim_eta", "space_to_depth",
     "bf16_norm", "lesion_kind", "lesion_severity", "recon_repeats",

@@ -46,7 +46,8 @@ gaussian_noise.fingerprint = ("gauss",)
 
 def simplex_noise(key: jax.Array, shape: Tuple[int, ...], t: jax.Array,
                   octaves: int = 6, persistence: float = 0.8,
-                  frequency: float = 64.0, share_batch: bool = False) -> jax.Array:
+                  frequency: float = 64.0, share_batch: bool = False,
+                  table: bool = False) -> jax.Array:
     """Multi-octave simplex field(s), NHWC output.
 
     shape = (B, H, W, C); t is scalar or (B,) timesteps (the field's fixed
@@ -54,18 +55,25 @@ def simplex_noise(key: jax.Array, shape: Tuple[int, ...], t: jax.Array,
     (sample, channel) pair gets an independent permutation table derived from
     `key` (the on-device analogue of per-channel `newSeed()`,
     GaussianDiffusion.py:102).
+
+    `table=True` selects the reference-exact permutation-table kernel
+    (gathered gradients, the mechanism of simplex.py:174-192) instead of the
+    gather-free lattice hash — distribution-exact to the reference's noise
+    and used by parity twin cells; the hash path is the production default.
     """
     b, h, w, c = shape
     t = jnp.broadcast_to(jnp.asarray(t, jnp.float32), (b,))
+    gen = (sx.batched_fractal3_fixed_t_table if table
+           else sx.batched_fractal3_fixed_t)
     if share_batch:
         # One field per channel at t[0], repeated over batch (reference quirk).
-        fields = sx.batched_fractal3_fixed_t(
+        fields = gen(
             key, (h, w), t[0], n_fields=c, octaves=octaves,
             persistence=persistence, frequency=frequency)          # (C, H, W)
         out = jnp.broadcast_to(fields.transpose(1, 2, 0)[None], (b, h, w, c))
         return out
     t_fields = jnp.repeat(t, c)                                    # (B*C,)
-    fields = sx.batched_fractal3_fixed_t(
+    fields = gen(
         key, (h, w), t_fields, n_fields=b * c, octaves=octaves,
         persistence=persistence, frequency=frequency)              # (B*C, H, W)
     return fields.reshape(b, c, h, w).transpose(0, 2, 3, 1)
@@ -146,7 +154,8 @@ simplex_rand_param_noise.fingerprint = ("simplex_randParam",)
 
 def make_noise_sampler(kind: str, octaves: int = 6, persistence: float = 0.8,
                        frequency: float = 64.0,
-                       share_batch: bool = False) -> NoiseSampler:
+                       share_batch: bool = False,
+                       table: bool = False) -> NoiseSampler:
     """Noise dispatch by config kind (GaussianDiffusion.py:161-171).
 
     kinds: "gauss" | "simplex" | "simplex_randParam" | "simplex_2d" | "random"
@@ -176,17 +185,17 @@ def make_noise_sampler(kind: str, octaves: int = 6, persistence: float = 0.8,
                 coin,
                 lambda k: gaussian_noise(k, shape, t),
                 lambda k: simplex_noise(k, shape, t, octaves, persistence,
-                                        frequency, share_batch),
+                                        frequency, share_batch, table),
                 key_noise)
         random_noise.fingerprint = ("random", octaves, persistence,
-                                    frequency, share_batch)
+                                    frequency, share_batch, table)
         return random_noise
 
     def simplex_sampler(key, shape, t):
         return simplex_noise(key, shape, t, octaves, persistence, frequency,
-                             share_batch)
+                             share_batch, table)
     simplex_sampler.fingerprint = ("simplex", octaves, persistence,
-                                   frequency, share_batch)
+                                   frequency, share_batch, table)
     return simplex_sampler
 
 
@@ -196,4 +205,5 @@ def sampler_from_args(args) -> NoiseSampler:
         octaves=int(args.get("simplex_octaves", 6) or 6),
         persistence=float(args.get("simplex_persistence", 0.8) or 0.8),
         frequency=float(args.get("simplex_frequency", 64) or 64),
+        table=bool(args.get("simplex_table", False)),
     )

@@ -738,6 +738,39 @@ def seeds_from_key(key: jax.Array, n: int) -> jax.Array:
 
 
 @functools.partial(jax.jit, static_argnames=("shape_hw", "octaves", "n_fields"))
+def batched_fractal3_fixed_t_table(key: jax.Array, shape_hw: Tuple[int, int],
+                                   t: jax.Array, n_fields: int,
+                                   octaves: int = 6, persistence: float = 0.8,
+                                   frequency: float = 64.0):
+    """Table-path counterpart of `batched_fractal3_fixed_t`: each field gets
+    a fresh on-device PERMUTATION TABLE (perm_tables_from_key) and evaluates
+    the reference-exact gather kernel (`opensimplex3`) instead of the
+    counter-based lattice hash.  Returns (n, H, W).
+
+    This is the distribution-exact twin of the reference's per-call
+    `newSeed()` + LCG table (simplex.py:19-23, :174-192): same gradient
+    selection mechanism (a 256-entry permutation mod 24), differing only in
+    how the permutation itself is drawn (threefry vs LCG Fisher-Yates —
+    both uniform over permutations).  Used by parity twin cells isolating
+    hash-vs-table noise as a cause of trained-level metric deltas; the
+    production hot path stays on the gather-free hash kernel.
+
+    jit-level FMA fusion can flip a floor() at lattice-cell boundaries vs
+    the eager kernel (<0.3% of pixels at 256x256 — the same boundary
+    sensitivity any fp32 port of the fp64 reference kernel carries;
+    distribution-irrelevant, see tests/test_simplex.py)."""
+    keys = jax.random.split(key, n_fields)
+    perms, gids = jax.vmap(perm_tables_from_key)(keys)      # (n, 256) x2
+    t = jnp.broadcast_to(jnp.asarray(t, jnp.float32), (n_fields,))
+
+    def one(perm, gid, ti):
+        return fractal3_fixed_t(perm, gid, shape_hw, ti, octaves=octaves,
+                                persistence=persistence, frequency=frequency)
+
+    return jax.vmap(one)(perms, gids, t)
+
+
+@functools.partial(jax.jit, static_argnames=("shape_hw", "octaves", "n_fields"))
 def batched_fractal3_fixed_t(key: jax.Array, shape_hw: Tuple[int, int],
                              t: jax.Array, n_fields: int, octaves: int = 6,
                              persistence: float = 0.8, frequency: float = 64.0):

@@ -141,6 +141,19 @@ CONFIGS = {
     },
 }
 
+# Stage-4 causal-isolation twins of p32s8 (framework-side only; they
+# aggregate against p32s8's corrected reference rows via _reference_cell):
+#   p32s8t — reference-exact TABLE noise (perm-table gradient selection,
+#            ops/simplex.py batched_fractal3_fixed_t_table) instead of the
+#            production lattice hash: isolates the hash-vs-table gradient
+#            mechanism as a cause of the trained-level metric delta.
+#   p32s8f — fp32 compute dtype end-to-end (the reference torch stack is
+#            fp32): isolates bf16 matmul/activation rounding.
+CONFIGS["p32s8t"] = {**CONFIGS["p32s8"], "arg_num": "9338t",
+                     "simplex_table": True, "_reference_cell": "p32s8"}
+CONFIGS["p32s8f"] = {**CONFIGS["p32s8"], "arg_num": "9338f",
+                     "compute_dtype": "float32", "_reference_cell": "p32s8"}
+
 
 def workdir_for(cfg) -> str:
     d = os.path.join(REPO, "results", "parity_run", f"ARGS={cfg['arg_num']}")
@@ -562,11 +575,15 @@ def run_framework(config_key: str, seed: int = 0) -> dict:
 
     wd = workdir_for(cfg)
     token = f"{cfg['arg_num']}fw"
-    args = defaultdict_from_json({**cfg, "arg_num": token,
+    public = {k: v for k, v in cfg.items() if not k.startswith("_")}
+    args = defaultdict_from_json({**public, "arg_num": token,
                                   "dataset": "synthetic", "seed": seed,
                                   # reference-faithful eval protocol
                                   "sampler": "ddpm",
-                                  "compute_dtype": "bfloat16"})
+                                  # production default; twin cells (p32s8f)
+                                  # override via their config dict
+                                  "compute_dtype":
+                                      cfg.get("compute_dtype", "bfloat16")})
     os.chdir(wd)
     t0 = time.time()
     train(args)
@@ -747,9 +764,15 @@ def aggregate(config_key: str) -> dict:
     with open(RESULTS) as f:
         data = json.load(f)
     out = {"n_seeds": {}, "means": {}, "stds": {}, "verdict": {}}
+    # Causal-isolation twins (p32s8t/p32s8f) have no reference side of their
+    # own: they borrow the corrected reference rows of their parent cell.
+    ref_cell = CONFIGS.get(config_key, {}).get("_reference_cell", config_key)
+    if ref_cell != config_key:
+        out["reference_cell"] = ref_cell
     sides = {}
     for side in ("reference", "framework"):
-        rows = _side_rows(data, config_key, side)
+        rows = _side_rows(data, ref_cell if side == "reference"
+                          else config_key, side)
         sides[side] = rows
         out["n_seeds"][side] = len(rows)
     metrics = ("auc", "dice", "ssim", "iou", "precision", "recall", "fpr")

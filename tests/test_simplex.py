@@ -223,3 +223,50 @@ def test_simplex2d_noise_sampler():
     assert out.shape == (2, 32, 32, 1)
     assert np.isfinite(out).all()
     assert abs(out.mean()) < 0.2
+
+
+def test_batched_table_fields_match_per_field_kernel():
+    """batched_fractal3_fixed_t_table == per-field eager fractal3_fixed_t on
+    the same key-derived tables, except isolated lattice-boundary pixels
+    where jit-level FMA fusion flips a floor() (measured <0.3% of pixels —
+    the same boundary sensitivity any fp32 port of the fp64 reference
+    kernel has; distribution-irrelevant)."""
+    key = jax.random.key(11)
+    n = 4
+    # frequency 8 on a 64x64 window = 8x8 lattice cells, so a boundary flip
+    # contaminates ~1 cell = ~1.5% of pixels at most (at the production
+    # frequency 64 a 32x32 window is HALF a cell and one flip can cover it).
+    out = sx.batched_fractal3_fixed_t_table(key, (64, 64), jnp.float32(5.0),
+                                            n_fields=n, octaves=2,
+                                            frequency=8.0)
+    keys = jax.random.split(key, n)
+    for i in range(n):
+        perm, gid = sx.perm_tables_from_key(keys[i])
+        ref = sx.fractal3_fixed_t(perm, gid, (64, 64), jnp.float32(5.0),
+                                  octaves=2, frequency=8.0)
+        d = np.abs(np.asarray(out[i]) - np.asarray(ref))
+        assert np.median(d) < 1e-6
+        assert (d > 1e-4).mean() < 0.05
+    # fields are mutually independent (fresh table per field)
+    assert np.abs(np.asarray(out[0]) - np.asarray(out[1])).max() > 1e-3
+
+
+def test_table_noise_sampler_and_fingerprint():
+    """simplex_noise(table=True) rides the perm-table kernel; the flag is
+    part of the sampler fingerprint so the detection program cache never
+    conflates hash- and table-noise programs."""
+    from anoddpm_tpu.ops.noise import make_noise_sampler, sampler_from_args
+    s_t = make_noise_sampler("simplex", table=True)
+    s_h = make_noise_sampler("simplex")
+    assert s_t.fingerprint != s_h.fingerprint
+    out = np.asarray(s_t(jax.random.key(2), (2, 16, 16, 1),
+                         jnp.array([5, 9])))
+    assert out.shape == (2, 16, 16, 1) and np.isfinite(out).all()
+    # share_batch parity mode composes with the table path
+    out_sb = np.asarray(make_noise_sampler("simplex", table=True,
+                                           share_batch=True)(
+        jax.random.key(3), (2, 16, 16, 1), jnp.array([5, 5])))
+    np.testing.assert_array_equal(out_sb[0], out_sb[1])
+    # config-level wiring: simplex_table reaches the fingerprint
+    s_cfg = sampler_from_args({"noise_fn": "simplex", "simplex_table": True})
+    assert s_cfg.fingerprint[-1] is True
