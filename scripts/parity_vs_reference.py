@@ -153,6 +153,12 @@ CONFIGS["p32s8t"] = {**CONFIGS["p32s8"], "arg_num": "9338t",
                      "simplex_table": True, "_reference_cell": "p32s8"}
 CONFIGS["p32s8f"] = {**CONFIGS["p32s8"], "arg_num": "9338f",
                      "compute_dtype": "float32", "_reference_cell": "p32s8"}
+# Full-budget (40-epoch) table twin: measured at 8 epochs, hash->table moves
+# fw AUC .589 -> .553 toward the corrected reference .498 while fp32 is a
+# no-op (p32s8f seeds identical to p32s8's to 4 decimals); this cell tests
+# whether the mechanism effect persists at the full cell budget.
+CONFIGS["p32st"] = {**CONFIGS["p32s"], "arg_num": "9332t",
+                    "simplex_table": True, "_reference_cell": "p32s"}
 
 
 def workdir_for(cfg) -> str:
