@@ -55,7 +55,10 @@ def run_bench(batch: int, t_distance: int = 250, img: int = 256,
     # non-degenerate weights so zero-init layers don't shortcut the math
     params = jax.tree_util.tree_map(lambda p: p + 0.01, params)
 
-    sampler = make_noise_sampler(noise_kind)
+    # A/B knob for the reference-exact permutation-table noise path
+    # (simplex_table config flag); production default is the lattice hash
+    sampler = make_noise_sampler(
+        noise_kind, table=os.environ.get("BENCH_SIMPLEX_TABLE", "0") == "1")
 
     # params are an explicit jit ARGUMENT: closing over them would embed
     # 131M parameters as HLO constants (a ~500MB program that the compile
