@@ -57,9 +57,13 @@ def main():
     epochs = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() \
         else None
     protos = dict(PROTOCOLS)
-    for a in sys.argv[2:]:
+    for a in sys.argv[1:]:
         if a.startswith("--protocols="):
             names = a.split("=", 1)[1].split(",")
+            unknown = [n for n in names if n not in PROTOCOLS]
+            if unknown:
+                raise SystemExit(f"unknown protocol(s) {unknown}; "
+                                 f"known: {sorted(PROTOCOLS)}")
             protos = {k: v for k, v in PROTOCOLS.items() if k in names}
     res = json.load(open(RESULTS)) if os.path.exists(RESULTS) else {}
 

@@ -573,6 +573,17 @@ def run_framework(config_key: str, seed: int = 0) -> dict:
     """Matched framework run: same config dict, same synthetic data, same
     protocol (lambda=200 DDPM headline eval)."""
     cfg = _seeded_cfg(config_key, seed)
+    # finished-cell skip gate (mirrors run_reference's params-final.pt
+    # gate): re-running a completed framework cell must not retrain on the
+    # single-tenant chip — queue stages overlap in their seed enumerations.
+    key = _result_key(config_key, "framework", seed)
+    if os.path.exists(RESULTS):
+        with open(RESULTS) as f:
+            existing = json.load(f).get(key)
+        if existing:
+            print(f"framework cell {key}: skipped, result row exists",
+                  flush=True)
+            return existing
     sys.path.insert(0, REPO)
     from anoddpm_tpu.config import defaultdict_from_json
     from anoddpm_tpu.detect import (_load_eval_model,
@@ -724,15 +735,22 @@ def run_maps(config_key: str) -> dict:
 
 
 def _merge(update: dict) -> None:
-    data = {}
-    if os.path.exists(RESULTS):
-        with open(RESULTS) as f:
-            data = json.load(f)
-    data.update(update)
-    tmp = RESULTS + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(data, f, indent=1, sort_keys=True)
-    os.replace(tmp, RESULTS)
+    # CPU (reference) and TPU (framework) queues can finish cells
+    # concurrently; serialize the read-modify-write so neither side's
+    # rows are silently dropped by a lost update.
+    import fcntl
+    lock_path = RESULTS + ".lock"
+    with open(lock_path, "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        data = {}
+        if os.path.exists(RESULTS):
+            with open(RESULTS) as f:
+                data = json.load(f)
+        data.update(update)
+        tmp = RESULTS + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(data, f, indent=1, sort_keys=True)
+        os.replace(tmp, RESULTS)
 
 
 def collect() -> None:
@@ -779,6 +797,11 @@ def aggregate(config_key: str) -> dict:
     for side in ("reference", "framework"):
         rows = _side_rows(data, ref_cell if side == "reference"
                           else config_key, side)
+        if not rows:
+            raise SystemExit(
+                f"aggregate({config_key}): no {side} rows in {RESULTS} — "
+                "run the cell first (np.mean([]) would write NaN into the "
+                "results file)")
         sides[side] = rows
         out["n_seeds"][side] = len(rows)
     metrics = ("auc", "dice", "ssim", "iou", "precision", "recall", "fpr")
